@@ -1,0 +1,169 @@
+"""Deterministic, checkpoint-resumable input pipeline.
+
+Replaces the reference's tf.data + tf.py_func loader
+(misc_py/denoiser-multi-gpu.py:878-913) with:
+  * epoch-wise permutation from a counter-derived RNG — resumable mid-epoch
+    (the reference's np.random pipeline cannot be resumed, SURVEY.md §5),
+  * a thread pool that only does file IO and cropping on host,
+  * degradation on-device inside the jitted train step (emx.data.degrade),
+  * global-batch assembly over a jax.sharding.Mesh via
+    jax.make_array_from_process_local_data for multi-host DP.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+from typing import Callable, Iterator
+
+import jax
+import numpy as np
+
+from emx.io.tiff import read_tiff
+from emx.utils.config import Config, config_field
+
+
+@dataclasses.dataclass
+class PipelineConfig(Config):
+    batch_size: int = config_field(8, "global batch size")
+    crop_size: int = config_field(512, "training crop sidelength")
+    seed: int = config_field(0, "pipeline RNG seed")
+    num_workers: int = config_field(4, "file-read threads")
+    prefetch: int = config_field(4, "prefetched batches")
+    drop_remainder: bool = config_field(True, "drop last partial batch")
+
+
+class DataPipeline:
+    """Iterates (batch,) float32 arrays of shape (B, crop, crop).
+
+    `source` is either a list of file paths (read as float32 images and
+    random-cropped on host) or a numpy array (N, H, W) served from memory.
+    State is (epoch, index): save/restore via state_dict/load_state_dict.
+    """
+
+    def __init__(
+        self,
+        source: list[str] | np.ndarray,
+        config: PipelineConfig,
+        reader: Callable[[str], np.ndarray] | None = None,
+    ):
+        self.cfg = config
+        self.source = source
+        self.reader = reader or (
+            lambda p: read_tiff(p, fallback_shape=(config.crop_size, config.crop_size))
+        )
+        self.epoch = 0
+        self.index = 0
+        self._n = len(source)
+        if self._n == 0:
+            raise ValueError("empty data source")
+
+    # -- checkpointable state ------------------------------------------------
+    def state_dict(self) -> dict[str, int]:
+        return {"epoch": self.epoch, "index": self.index}
+
+    def load_state_dict(self, state: dict[str, int]) -> None:
+        self.epoch = int(state["epoch"])
+        self.index = int(state["index"])
+
+    # -- deterministic order -------------------------------------------------
+    def _order(self, epoch: int) -> np.ndarray:
+        return np.random.default_rng(
+            np.random.SeedSequence([self.cfg.seed, epoch])
+        ).permutation(self._n)
+
+    def _load(self, item_idx: int, epoch: int, pos: int) -> np.ndarray:
+        if isinstance(self.source, np.ndarray):
+            img = self.source[item_idx]
+        else:
+            img = self.reader(self.source[item_idx])
+        c = self.cfg.crop_size
+        h, w = img.shape[-2:]
+        if (h, w) == (c, c):
+            return np.asarray(img, np.float32)
+        if h < c or w < c:
+            out = np.full((c, c), 0.5, np.float32)
+            out[: min(h, c), : min(w, c)] = img[: min(h, c), : min(w, c)]
+            return out
+        rng = np.random.default_rng(
+            np.random.SeedSequence([self.cfg.seed, epoch, pos, 17])
+        )
+        y = rng.integers(0, h - c + 1)
+        x = rng.integers(0, w - c + 1)
+        return np.asarray(img[y : y + c, x : x + c], np.float32)
+
+    # -- iteration -----------------------------------------------------------
+    def __iter__(self) -> Iterator[np.ndarray]:
+        return self._prefetching_iter()
+
+    def _batches(self) -> Iterator[np.ndarray]:
+        b = self.cfg.batch_size
+        while True:
+            order = self._order(self.epoch)
+            while self.index + b <= self._n:
+                idxs = order[self.index : self.index + b]
+                batch = np.stack(
+                    [self._load(int(i), self.epoch, self.index + j)
+                     for j, i in enumerate(idxs)]
+                )
+                self.index += b
+                yield batch
+            self.epoch += 1
+            self.index = 0
+
+    def _prefetching_iter(self) -> Iterator[np.ndarray]:
+        q: queue.Queue = queue.Queue(maxsize=self.cfg.prefetch)
+        stop = threading.Event()
+
+        def worker():
+            try:
+                for batch in self._batches():
+                    while not stop.is_set():
+                        try:
+                            q.put(batch, timeout=0.25)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
+            except Exception as e:  # surface loader errors on the main thread
+                q.put(e)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
+    # -- device placement ----------------------------------------------------
+    def as_global(self, batch: np.ndarray, sharding: jax.sharding.Sharding):
+        """Assemble this host's batch shard into a global device array."""
+        return jax.make_array_from_process_local_data(sharding, batch)
+
+
+def synthetic_micrographs(n: int, size: int = 512, seed: int = 0) -> np.ndarray:
+    """Structured synthetic micrographs (Gaussian blobs + lattice fringes +
+    smooth background) for tests and benchmarks — stands in for the
+    harvested corpus, which cannot ship."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+    out = np.empty((n, size, size), np.float32)
+    for i in range(n):
+        img = 0.3 + 0.2 * np.sin(2 * np.pi * (rng.uniform(1, 4) * xx + rng.uniform(0, 1)))
+        for _ in range(6):  # particles
+            cy, cx = rng.uniform(0.1, 0.9, 2)
+            s = rng.uniform(0.02, 0.12)
+            a = rng.uniform(0.2, 0.6)
+            img = img + a * np.exp(-(((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * s**2)))
+        f = rng.uniform(20, 60)
+        ang = rng.uniform(0, np.pi)
+        img = img + 0.08 * np.sin(2 * np.pi * f * (np.cos(ang) * xx + np.sin(ang) * yy))
+        lo, hi = img.min(), img.max()
+        out[i] = (img - lo) / (hi - lo)
+    return out

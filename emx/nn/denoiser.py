@@ -1,0 +1,126 @@
+"""Flagship low-dose micrograph denoiser.
+
+DeepLabv3+-style atrous separable-conv encoder-decoder, the architecture
+of the reference's north-star workload (misc_py/denoiser-multi-gpu.py
+architecture():200-540):
+
+  encoder  : 5 blocks; blocks 0-3 end in a stride-2 separable conv with a
+             1x1 stride-2 conv residual; block 4 is stride-1 with an
+             identity residual
+  middle   : 11 Xception middle blocks at 728 features
+  ASPP     : rates 6/12/18 + image-level pooling, projected to 256
+  decoder  : bilinear x4 upsample, two skip-concat stages (encoder taps at
+             1/4 and 1/2 resolution) each with a 1x1-conv residual, then a
+             final stride-2 transpose conv stage and a 1-channel head
+  output   : clip to [0, 1]
+
+Defaults follow the reference's feature widths (64/128/256/728/728,
+denoiser-multi-gpu.py:50-63). `scale` shrinks every width for tests.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from emx.nn.blocks import ASPP, ConvBlock, DeconvBlock, SepConvBlock, XceptionMiddleBlock
+
+
+@dataclasses.dataclass(frozen=True)
+class DenoiserConfig:
+    features: tuple[int, ...] = (64, 128, 256, 728, 728)
+    num_middle_blocks: int = 11
+    aspp_filters: int = 728
+    aspp_out: int = 256
+    aspp_rates: tuple[int, ...] = (6, 12, 18)
+    norm: str = "group"  # TPU default; 'batch' reproduces the reference
+    axis_name: str | None = None
+    dtype: Any = jnp.float32
+
+    @classmethod
+    def tiny(cls) -> "DenoiserConfig":
+        return cls(features=(8, 12, 16, 24, 24), num_middle_blocks=1,
+                   aspp_filters=16, aspp_out=16)
+
+    def scaled(self, scale: float) -> "DenoiserConfig":
+        return dataclasses.replace(
+            self,
+            features=tuple(max(8, int(f * scale)) for f in self.features),
+            aspp_filters=max(8, int(self.aspp_filters * scale)),
+            aspp_out=max(8, int(self.aspp_out * scale)),
+        )
+
+
+class Denoiser(nn.Module):
+    config: DenoiserConfig = DenoiserConfig()
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        cfg = self.config
+        f = cfg.features
+        kw = dict(norm=cfg.norm, axis_name=cfg.axis_name, dtype=cfg.dtype)
+        squeeze = x.ndim == 3
+        if squeeze:
+            x = x[..., None]
+        x = x.astype(cfg.dtype)
+
+        taps = []  # encoder outputs at each stride-2 boundary
+
+        # Encoder blocks 0..3: two stride-1 sep convs, one stride-2 sep conv,
+        # plus a 1x1 stride-2 projection residual.
+        h = x
+        # Feature plan from the reference: block i runs at f[i]; its strided
+        # conv emits f[1] for block 0, else f[i].
+        for i in range(4):
+            run = f[i]
+            emit = f[1] if i == 0 else f[i]
+            a = SepConvBlock(run, **kw)(h, train)
+            a = SepConvBlock(run, **kw)(a, train)
+            down = SepConvBlock(emit, strides=2, **kw)(a, train)
+            res = ConvBlock(emit, kernel=1, strides=2, **kw)(h, train)
+            h = down + res
+            taps.append(h)
+
+        # Encoder block 4: three stride-1 sep convs + identity residual.
+        a = SepConvBlock(f[4], **kw)(h, train)
+        a = SepConvBlock(f[4], **kw)(a, train)
+        a = SepConvBlock(f[4], **kw)(a, train)
+        h = a + h
+
+        for _ in range(cfg.num_middle_blocks):
+            h = XceptionMiddleBlock(f[4], **kw)(h, train)
+
+        h = ASPP(cfg.aspp_filters, cfg.aspp_out, cfg.aspp_rates, **kw)(h, train)
+
+        # Decoder: bilinear x4 to 1/4 resolution, skip from taps[1].
+        h = jax.image.resize(
+            h, (*h.shape[:-3], h.shape[-3] * 4, h.shape[-2] * 4, h.shape[-1]),
+            method="linear",
+        ).astype(cfg.dtype)
+        cat = jnp.concatenate([h, taps[1]], axis=-1)
+        d = SepConvBlock(f[2], **kw)(cat, train)
+        d = SepConvBlock(f[2], **kw)(d, train)
+        d = d + ConvBlock(f[2], kernel=1, **kw)(cat, train)
+        h = DeconvBlock(f[2], norm=cfg.norm, axis_name=cfg.axis_name,
+                        dtype=cfg.dtype)(d, train)
+
+        # Skip from taps[0] at 1/2 resolution.
+        cat = jnp.concatenate([h, taps[0]], axis=-1)
+        d = SepConvBlock(f[1], **kw)(cat, train)
+        d = SepConvBlock(f[1], **kw)(d, train)
+        d = d + ConvBlock(f[1], kernel=1, **kw)(cat, train)
+        h = DeconvBlock(f[1], norm=cfg.norm, axis_name=cfg.axis_name,
+                        dtype=cfg.dtype)(d, train)
+
+        # Full resolution refinement + 1-channel head.
+        d = SepConvBlock(f[0], **kw)(h, train)
+        d = SepConvBlock(f[0], **kw)(d, train)
+        d = d + ConvBlock(f[0], kernel=1, **kw)(h, train)
+        out = ConvBlock(1, kernel=3, **kw)(d, train)
+
+        out = jnp.clip(out.astype(jnp.float32), 0.0, 1.0)
+        return out[..., 0] if squeeze else out

@@ -1,0 +1,3 @@
+from emx.parallel.mesh import make_mesh, batch_sharding, replicated, shard_batch
+
+__all__ = ["make_mesh", "batch_sharding", "replicated", "shard_batch"]

@@ -69,6 +69,9 @@ def radial_fft_profile(img: jax.Array, num_bins: int | None = None):
     freqs = jax.ops.segment_max(
         (r / max_radius).reshape(-1), idx, num_segments=num_bins
     )
+    # Bins beyond the corner radius are empty: segment_max yields -inf
+    # there; zero them so downstream moments stay finite.
+    freqs = jnp.where(jnp.isfinite(freqs), freqs, 0.0)
     profile = profile / jnp.sum(profile)
     return profile * freqs, freqs
 

@@ -1,0 +1,92 @@
+"""Focal-series alignment: batched FFT phase correlation + chained shifts.
+
+Rebuilds the reference's alignment paths — GPU phase correlation
+(misc_py/ewrec_class.py af_phase_corr:121-129, rel_pos_estimate:342-421)
+and the MATLAB per-pair transform chaining with common-crop limits
+(misc_py/evolutionary_align.m:1-80, misc_py/warp_stack.m:21-60) — as pure
+JAX with subpixel (parabolic) peak interpolation.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def phase_correlation(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Translation (dy, dx) that maps `b` onto `a`, subpixel via
+    3-point parabolic interpolation around the correlation peak."""
+    fa = jnp.fft.fft2(a)
+    fb = jnp.fft.fft2(b)
+    cross = fa * jnp.conj(fb)
+    r = cross / jnp.maximum(jnp.abs(cross), 1e-12)
+    corr = jnp.abs(jnp.fft.ifft2(r))
+    h, w = corr.shape
+    idx = jnp.argmax(corr)
+    py, px = idx // w, idx % w
+
+    def parabolic(cm, c0, cp):
+        denom = cm - 2 * c0 + cp
+        return jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (cm - cp) / denom, 0.0)
+
+    cy = parabolic(corr[(py - 1) % h, px], corr[py, px], corr[(py + 1) % h, px])
+    cx = parabolic(corr[py, (px - 1) % w], corr[py, px], corr[py, (px + 1) % w])
+    dy = py + cy
+    dx = px + cx
+    # Wrap to signed shifts.
+    dy = jnp.where(dy > h / 2, dy - h, dy)
+    dx = jnp.where(dx > w / 2, dx - w, dx)
+    # Convention: return d with b(x) = a(x - d), i.e. b is a displaced by +d.
+    return -jnp.stack([dy, dx])
+
+
+def fourier_shift(img: jax.Array, shift: jax.Array) -> jax.Array:
+    """Subpixel translation by Fourier phase ramp (periodic boundary)."""
+    h, w = img.shape[-2:]
+    ky = jnp.fft.fftfreq(h)[:, None]
+    kx = jnp.fft.fftfreq(w)[None, :]
+    phase = jnp.exp(-2j * jnp.pi * (shift[0] * ky + shift[1] * kx))
+    out = jnp.fft.ifft2(jnp.fft.fft2(img) * phase)
+    return out.real if jnp.isrealobj(img) else out
+
+
+def relative_positions(stack: jax.Array) -> jax.Array:
+    """Per-slice shifts relative to the middle image by chaining
+    neighbouring pairwise phase correlations (warp_stack.m semantics:
+    transforms composed outward from the centre slice)."""
+    n = stack.shape[0]
+    mid = n // 2
+    pair = jax.vmap(phase_correlation)(stack[:-1], stack[1:])  # (n-1, 2)
+    shifts = [jnp.zeros(2)] * n
+
+    def chain(start, stop, step):
+        acc = jnp.zeros(2)
+        for i in range(start, stop, step):
+            if step > 0:
+                acc = acc + pair[i - 1]  # shift of i relative to i-1
+            else:
+                acc = acc - pair[i]
+            shifts[i] = acc
+
+    chain(mid + 1, n, 1)
+    chain(mid - 1, -1, -1)
+    return jnp.stack(shifts)
+
+
+def align_stack(stack: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Align every slice to the middle image. Returns (aligned, shifts)."""
+    shifts = relative_positions(stack)
+    aligned = jax.vmap(fourier_shift)(stack, -shifts)
+    return aligned, shifts
+
+
+def common_crop_slices(shifts, shape: tuple[int, int]) -> tuple[slice, slice]:
+    """Pixel region valid in every shifted slice (warp_stack.m:21-60)."""
+    import numpy as np
+
+    s = np.asarray(shifts)
+    top = int(np.ceil(max(0, -s[:, 0].min())))
+    bot = int(np.floor(min(shape[0], shape[0] - s[:, 0].max())))
+    left = int(np.ceil(max(0, -s[:, 1].min())))
+    right = int(np.floor(min(shape[1], shape[1] - s[:, 1].max())))
+    return slice(top, max(top + 1, bot)), slice(left, max(left + 1, right))

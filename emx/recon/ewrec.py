@@ -1,0 +1,266 @@
+"""Exit-wavefunction reconstruction from focal series (EWREC).
+
+Gerchberg–Saxton-style iteration, the canonical algorithm distilled from
+the reference's several part-finished variants (primary:
+misc_py/ewrec_class.py reconstruct:481-513, reconstruction_loss:515-550,
+defocus_initial_estimate:552-609):
+
+  repeat num_iter times:
+    exit_wave = mean_i propagate_to_focus(psi_i, defocus_i)
+    psi_i     = amp_i / |propagate_back(exit_wave, defocus_i)| * propagate_back(...)
+
+with amp_i = sqrt(I_i) (observed amplitudes).
+
+TPU-native: the whole focal stack is ONE complex64 tensor; both
+propagation sweeps are batched FFTs (vmap); the outer iteration is a
+lax.fori_loop — a single XLA program instead of the reference's
+per-image ArrayFire Python loop with NumPy round-trips. The defocus
+sweep vmaps `reconstruction_loss` over all candidate increments at once.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from emx.physics.ctf import defocus_ctf
+
+
+@dataclasses.dataclass(frozen=True)
+class EWRECConfig:
+    wavelength: float = 0.025  # Angstrom (200 keV)
+    px_dim: float = 1.0
+    num_iter: int = 50
+    pad_periods: float = 0.0
+    series_type: str = "linear"  # defocus ramp: linear | quadratic
+
+
+def _defocus_ramp(n: int, series_type: str) -> jnp.ndarray:
+    """Signed ramp centered on the in-focus middle slice
+    (reference defocus_initial_estimate:560-575)."""
+    half = n // 2
+    idx = jnp.arange(n, dtype=jnp.float32) - half
+    if series_type == "quadratic":
+        return jnp.sign(idx) * idx**2
+    return idx
+
+
+def _ctf_stack(defocuses, side, wavelength, px_dim, sign):
+    return jax.vmap(
+        lambda df: defocus_ctf(side, wavelength, sign * df, px_dim=px_dim)
+    )(defocuses)
+
+
+def reconstruct(
+    amplitudes: jax.Array,
+    defocuses: jax.Array,
+    cfg: EWRECConfig,
+) -> jax.Array:
+    """Run the GS iteration. `amplitudes` is (N, H, W) real (sqrt of
+    measured intensities); returns the complex64 exit wave (H, W)."""
+    n, h, w = amplitudes.shape
+    assert h == w, "EWREC operates on square crops"
+    amps = amplitudes.astype(jnp.float32)
+    to_focus = _ctf_stack(defocuses, h, cfg.wavelength, cfg.px_dim, -1.0)
+    to_plane = _ctf_stack(defocuses, h, cfg.wavelength, cfg.px_dim, +1.0)
+
+    def body(_, psi):
+        # Propagate every slice to focus and average.
+        exit_wave = jnp.mean(jnp.fft.ifft2(jnp.fft.fft2(psi) * to_focus), axis=0)
+        # Back-propagate to each plane and replace amplitude with measured.
+        back = jnp.fft.ifft2(jnp.fft.fft2(exit_wave)[None] * to_plane)
+        return back * (amps / jnp.maximum(jnp.abs(back), 1e-12))
+
+    psi0 = amps.astype(jnp.complex64)
+    psi = jax.lax.fori_loop(0, cfg.num_iter, body, psi0)
+    return jnp.mean(jnp.fft.ifft2(jnp.fft.fft2(psi) * to_focus), axis=0)
+
+
+def deconstruct(
+    exit_wave: jax.Array, defocuses: jax.Array, cfg: EWRECConfig
+) -> jax.Array:
+    """Re-image the exit wave at each defocus: |propagate_back(wave, df_i)|."""
+    h = exit_wave.shape[-1]
+    to_plane = _ctf_stack(defocuses, h, cfg.wavelength, cfg.px_dim, +1.0)
+    return jnp.abs(jnp.fft.ifft2(jnp.fft.fft2(exit_wave)[None] * to_plane))
+
+
+def reconstruction_loss(
+    amplitudes: jax.Array, defocuses: jax.Array, cfg: EWRECConfig
+) -> jax.Array:
+    """mean_i mean((amp_i - s_i * |reimage_i|)^2), s_i matching means —
+    the reference's loss (ewrec_class.py:515-550) on sqrt intensities."""
+    wave = reconstruct(amplitudes, defocuses, cfg)
+    dec = deconstruct(wave, defocuses, cfg)
+    scale = jnp.mean(amplitudes, axis=(-2, -1), keepdims=True) / jnp.maximum(
+        jnp.mean(dec, axis=(-2, -1), keepdims=True), 1e-12
+    )
+    return jnp.mean((amplitudes - scale * dec) ** 2)
+
+
+def weak_phase_residual(
+    intensities: jax.Array,
+    defocuses: jax.Array,
+    cfg: EWRECConfig,
+    k_max: float = 0.4,
+) -> jax.Array:
+    """Relative residual of the weak-phase linear imaging model.
+
+    For a weak object, FT(I_i/mean - 1)(k) = -2 sin(chi_i) PHI(k)
+    - 2 cos(chi_i) A(k) (chi as in emx.physics.defocus_ctf's +i chi
+    convention). For candidate defocuses this solves the
+    per-frequency 2-unknown least squares over all N slices and returns
+    residual/signal power. Sharp global minimum (=0 noiseless) at the
+    true focal step — the robust replacement for the reference's GS
+    self-consistency sweep (ewrec_class.py:552-609), which cannot
+    discriminate large defocus because amplitude replacement lets GS
+    overfit any focal geometry.
+    """
+    n, h, w = intensities.shape
+    kx = jnp.fft.fftfreq(h, d=cfg.px_dim)
+    k2 = kx[:, None] ** 2 + kx[None, :] ** 2
+    chi = jnp.pi * cfg.wavelength * defocuses[:, None, None] * k2[None]
+    rel = intensities / jnp.mean(intensities, axis=(-2, -1), keepdims=True) - 1.0
+    b = jnp.fft.fft2(rel)
+    s = -2.0 * jnp.sin(chi)
+    c = -2.0 * jnp.cos(chi)
+    ss = jnp.sum(s * s, 0)
+    sc = jnp.sum(s * c, 0)
+    cc = jnp.sum(c * c, 0)
+    sb = jnp.sum(s * b, 0)
+    cb = jnp.sum(c * b, 0)
+    det = ss * cc - sc * sc
+    det = jnp.where(jnp.abs(det) > 1e-9, det, 1e-9)
+    phi = (cc * sb - sc * cb) / det
+    amp = (-sc * sb + ss * cb) / det
+    pred = s * phi[None] + c * amp[None]
+    mask = (k2 > 0) & (k2 < (k_max / cfg.px_dim) ** 2)
+    resid = jnp.sum(jnp.abs(pred - b) ** 2 * mask[None])
+    return resid / jnp.maximum(jnp.sum(jnp.abs(b) ** 2 * mask[None]), 1e-12)
+
+
+def weak_phase_reconstruct(
+    intensities: jax.Array, defocuses: jax.Array, cfg: EWRECConfig,
+    k_max: float = 0.5, tikhonov: float = 1e-3,
+) -> jax.Array:
+    """Linear (Tikhonov-regularised) weak-phase focal-series reconstruction:
+    solve the per-frequency least squares for PHI(k), A(k) and return the
+    complex object estimate exp(iφ - a) linearised as 1 - a + iφ."""
+    n, h, w = intensities.shape
+    kx = jnp.fft.fftfreq(h, d=cfg.px_dim)
+    k2 = kx[:, None] ** 2 + kx[None, :] ** 2
+    chi = jnp.pi * cfg.wavelength * defocuses[:, None, None] * k2[None]
+    rel = intensities / jnp.mean(intensities, axis=(-2, -1), keepdims=True) - 1.0
+    b = jnp.fft.fft2(rel)
+    s = -2.0 * jnp.sin(chi)
+    c = -2.0 * jnp.cos(chi)
+    ss = jnp.sum(s * s, 0) + tikhonov
+    sc = jnp.sum(s * c, 0)
+    cc = jnp.sum(c * c, 0) + tikhonov
+    sb = jnp.sum(s * b, 0)
+    cb = jnp.sum(c * b, 0)
+    det = ss * cc - sc * sc
+    phi_k = (cc * sb - sc * cb) / det
+    a_k = (-sc * sb + ss * cb) / det
+    mask = (k2 > 0) & (k2 < (k_max / cfg.px_dim) ** 2)
+    phi = jnp.fft.ifft2(phi_k * mask).real
+    a = jnp.fft.ifft2(a_k * mask).real
+    return (1.0 - a) * jnp.exp(1j * phi)
+
+
+def defocus_search(
+    amplitudes: jax.Array,
+    cfg: EWRECConfig,
+    increments: jax.Array | None = None,
+    num_candidates: int = 24,
+    min_incr: float = 1.0,
+    max_incr: float = 512.0,
+    refine_rounds: int = 3,
+) -> tuple[jax.Array, jax.Array]:
+    """Estimate the per-slice defocus increment.
+
+    The reference sweeps candidate increments with bisection refinement on
+    its GS loss (ewrec_class.py:552-609); here the sweep vmaps the
+    weak-phase residual over all candidates in one compiled program, then
+    narrows the grid around the argmin (never expanding past the original
+    bounds).
+
+    `amplitudes` are sqrt-intensities, matching `ewrec`'s internal state.
+    Returns (best_increment, defocuses).
+    """
+    n = amplitudes.shape[0]
+    ramp = _defocus_ramp(n, cfg.series_type)
+    intensities = amplitudes**2
+    if increments is None:
+        increments = jnp.exp(
+            jnp.linspace(jnp.log(min_incr), jnp.log(max_incr), num_candidates)
+        )
+
+    loss_of = jax.jit(
+        jax.vmap(lambda inc: weak_phase_residual(intensities, inc * ramp, cfg))
+    )
+
+    bound_lo = float(jnp.log(increments[0]))
+    bound_hi = float(jnp.log(increments[-1]))
+    lo, hi = bound_lo, bound_hi
+    best = increments[0]
+    for _ in range(refine_rounds):
+        grid = jnp.exp(jnp.linspace(lo, hi, num_candidates))
+        losses = loss_of(grid)
+        i = int(jnp.argmin(losses))
+        best = grid[i]
+        span = (hi - lo) / (num_candidates - 1)
+        lo = max(bound_lo, float(jnp.log(best)) - span)
+        hi = min(bound_hi, float(jnp.log(best)) + span)
+    return best, best * ramp
+
+
+def refine_defocuses(
+    amplitudes: jax.Array,
+    defocuses: jax.Array,
+    cfg: EWRECConfig,
+    steps: int = 30,
+    lr: float = 0.1,
+) -> jax.Array:
+    """Gradient-based per-slice defocus refinement — the TPU-native
+    replacement for the reference's scipy trust-krylov host loop
+    (ewrec_class.py:629-649): the GS reconstruction is differentiable,
+    so just descend the reconstruction loss."""
+    import optax
+
+    opt = optax.adam(lr)
+    small_cfg = dataclasses.replace(cfg, num_iter=min(cfg.num_iter, 10))
+    loss_grad = jax.jit(
+        jax.value_and_grad(lambda dfs: reconstruction_loss(amplitudes, dfs, small_cfg))
+    )
+    opt_state = opt.init(defocuses)
+
+    def body(carry, _):
+        dfs, opt_state = carry
+        _, g = loss_grad(dfs)
+        updates, opt_state = opt.update(g, opt_state)
+        return (optax.apply_updates(dfs, updates), opt_state), None
+
+    (dfs, _), _ = jax.lax.scan(body, (defocuses, opt_state), None, length=steps)
+    return dfs
+
+
+def ewrec(
+    intensities: jax.Array,
+    cfg: EWRECConfig = EWRECConfig(),
+    defocuses: jax.Array | None = None,
+    search: bool = True,
+) -> dict:
+    """Full pipeline on a pre-aligned focal stack of measured intensities
+    (N, H, W): amplitude = sqrt(I), optional defocus search, reconstruct.
+    Returns {exit_wave, defocuses, loss}."""
+    amps = jnp.sqrt(jnp.maximum(intensities.astype(jnp.float32), 0.0))
+    if defocuses is None:
+        if not search:
+            raise ValueError("defocuses required when search=False")
+        _, defocuses = defocus_search(amps, cfg)
+    wave = jax.jit(lambda a, d: reconstruct(a, d, cfg))(amps, defocuses)
+    loss = reconstruction_loss(amps, defocuses, cfg)
+    return {"exit_wave": wave, "defocuses": defocuses, "loss": loss}

@@ -1,0 +1,21 @@
+from emx.scope.protocol import (
+    OPCODES,
+    Instruction,
+    FileTransport,
+    SocketTransport,
+    MicroscopeClient,
+)
+from emx.scope.sim import SimulatedMicroscope, FileMarionette
+from emx.scope.env import FresnelEnv, fresnel_quantifier
+
+__all__ = [
+    "OPCODES",
+    "Instruction",
+    "FileTransport",
+    "SocketTransport",
+    "MicroscopeClient",
+    "SimulatedMicroscope",
+    "FileMarionette",
+    "FresnelEnv",
+    "fresnel_quantifier",
+]

@@ -1,0 +1,166 @@
+"""Batched inference HTTP server.
+
+Replaces the reference's Flask single-image endpoint
+(tf_utility/graph_server.py:10-66) with a stdlib ThreadingHTTPServer that
+micro-batches concurrent requests into one device launch:
+
+  POST /api/predict   body: raw .npy bytes (2D float image)
+                      resp: raw .npy bytes (same shape)
+  GET  /healthz       liveness + model metadata
+  GET  /metrics       JSON counters (requests, batched launches, latency)
+
+Requests are queued; a dispatcher thread drains up to `max_batch` at a
+time and runs them through the (jitted, fixed-shape) apply function —
+on TPU the second and later launches reuse the compiled program.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Callable
+
+import numpy as np
+
+
+class _Pending:
+    __slots__ = ("img", "event", "result", "error")
+
+    def __init__(self, img):
+        self.img = img
+        self.event = threading.Event()
+        self.result = None
+        self.error = None
+
+
+class InferenceServer:
+    def __init__(
+        self,
+        apply_fn: Callable[[np.ndarray], np.ndarray],
+        host: str = "127.0.0.1",
+        port: int = 8501,
+        max_batch: int = 8,
+        input_shape: tuple[int, int] | None = None,
+        model_info: dict | None = None,
+    ):
+        self.apply_fn = apply_fn
+        self.max_batch = max_batch
+        self.input_shape = input_shape
+        self.model_info = model_info or {}
+        self.metrics = {"requests": 0, "launches": 0, "errors": 0,
+                        "total_latency_s": 0.0}
+        self._q: queue.Queue[_Pending] = queue.Queue()
+        self._stop = threading.Event()
+        self._dispatcher = threading.Thread(target=self._dispatch, daemon=True)
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    body = json.dumps({"status": "ok", **server.model_info})
+                elif self.path == "/metrics":
+                    body = json.dumps(server.metrics)
+                else:
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                raw = body.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(raw)))
+                self.end_headers()
+                self.wfile.write(raw)
+
+            def do_POST(self):
+                if self.path != "/api/predict":
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                t0 = time.perf_counter()
+                n = int(self.headers.get("Content-Length", 0))
+                raw = self.rfile.read(n)
+                try:
+                    img = np.load(io.BytesIO(raw), allow_pickle=False)
+                except Exception as e:
+                    server.metrics["errors"] += 1
+                    self.send_response(400)
+                    self.end_headers()
+                    self.wfile.write(str(e).encode())
+                    return
+                pending = _Pending(np.asarray(img, np.float32))
+                server._q.put(pending)
+                pending.event.wait(timeout=120)
+                server.metrics["requests"] += 1
+                server.metrics["total_latency_s"] += time.perf_counter() - t0
+                if pending.error is not None:
+                    server.metrics["errors"] += 1
+                    self.send_response(500)
+                    self.end_headers()
+                    self.wfile.write(str(pending.error).encode())
+                    return
+                buf = io.BytesIO()
+                np.save(buf, pending.result)
+                raw_out = buf.getvalue()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/octet-stream")
+                self.send_header("Content-Length", str(len(raw_out)))
+                self.end_headers()
+                self.wfile.write(raw_out)
+
+        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        self.port = self.httpd.server_address[1]
+
+    def _dispatch(self) -> None:
+        while not self._stop.is_set():
+            try:
+                first = self._q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            batch = [first]
+            while len(batch) < self.max_batch:
+                try:
+                    batch.append(self._q.get_nowait())
+                except queue.Empty:
+                    break
+            # Group by shape so one launch serves homogeneous requests.
+            by_shape: dict[tuple, list[_Pending]] = {}
+            for p in batch:
+                by_shape.setdefault(p.img.shape, []).append(p)
+            for shape, group in by_shape.items():
+                try:
+                    stacked = np.stack([p.img for p in group])
+                    out = np.asarray(self.apply_fn(stacked))
+                    self.metrics["launches"] += 1
+                    for p, o in zip(group, out):
+                        p.result = o
+                except Exception as e:
+                    for p in group:
+                        p.error = e
+                finally:
+                    for p in group:
+                        p.event.set()
+
+    def start(self) -> None:
+        self._dispatcher.start()
+        threading.Thread(target=self.httpd.serve_forever, daemon=True).start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        self.httpd.shutdown()
+
+
+def serve_artifact(artifact_path: str, **kw) -> InferenceServer:
+    from emx.serve.export import load_artifact
+
+    art = load_artifact(artifact_path)
+    apply_fn = art.apply_fn()
+    srv = InferenceServer(apply_fn, model_info={"model": art.model_name}, **kw)
+    srv.start()
+    return srv

@@ -1,0 +1,160 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from emx.data import (
+    apply_partial_scan,
+    bernoulli_mask,
+    box_downsample,
+    center_square_crop,
+    box_resize,
+    denoiser_example,
+    fixed_scan_mask,
+    gaussian_blur,
+    infilling_example,
+    norm_neg1to1,
+    occlude,
+    poisson_dose,
+    random_crop,
+    sample_dose_scale,
+    tile_grid,
+)
+from emx.data.crops import untile_grid
+from emx.data.pipeline import DataPipeline, PipelineConfig, synthetic_micrographs
+
+
+def test_dose_scale_distribution():
+    keys = jax.random.split(jax.random.key(0), 4096)
+    scales = jax.vmap(sample_dose_scale)(keys)
+    assert float(scales.min()) >= 25.0
+    # mean = 25 + 75 = 100
+    assert float(scales.mean()) == pytest.approx(100.0, rel=0.05)
+
+
+def test_poisson_dose_snr_scales_with_dose():
+    img = jnp.full((128, 128), 0.5)
+    key = jax.random.key(1)
+    lo = poisson_dose(key, img, jnp.asarray(10.0))
+    hi = poisson_dose(key, img, jnp.asarray(1000.0))
+    assert float(jnp.std(hi)) < float(jnp.std(lo))
+    assert 0.0 <= float(lo.min()) and float(lo.max()) <= 1.0
+
+
+def test_denoiser_example_target_rescaled():
+    img = jnp.asarray(synthetic_micrographs(1, 64)[0])
+    lq, target = jax.jit(denoiser_example)(jax.random.key(2), img)
+    assert lq.shape == img.shape == target.shape
+    # target mean matches the noisy image's mean (reference record_parser).
+    assert float(jnp.mean(target)) == pytest.approx(float(jnp.mean(lq)), rel=1e-4)
+
+
+def test_fixed_scan_mask_reproducible_and_coverage():
+    m1 = fixed_scan_mask((512, 512), 1 / 64)
+    m2 = fixed_scan_mask((512, 512), 1 / 64)
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+    cov = float(jnp.mean(m1))
+    assert cov == pytest.approx(1 / 64, rel=0.15)
+
+
+def test_partial_scan_fill():
+    img = jnp.ones((8, 8))
+    mask = bernoulli_mask(jax.random.key(0), (8, 8), 0.5)
+    out = apply_partial_scan(img, mask)
+    assert set(np.unique(np.asarray(out))) <= {-1.0, 1.0}
+
+
+def test_infilling_example_range():
+    img = jnp.asarray(synthetic_micrographs(1, 64)[0])
+    mask = bernoulli_mask(jax.random.key(1), (64, 64), 0.1)
+    lq, full = infilling_example(jax.random.key(3), img, mask)
+    assert float(full.min()) >= -1.0 and float(full.max()) <= 1.0
+    assert float(lq.min()) == -1.0
+
+
+def test_norm_neg1to1_constant():
+    out = norm_neg1to1(jnp.full((4, 4), 3.0))
+    np.testing.assert_allclose(np.asarray(out), 0.0)
+
+
+def test_occlude_marks_pixels():
+    img = jnp.ones((32, 32))
+    out = occlude(jax.random.key(5), img)
+    vals = set(np.unique(np.asarray(out)))
+    assert vals <= {0.5, 1.0}
+
+
+def test_gaussian_blur_reduces_variance():
+    img = jnp.asarray(np.random.default_rng(0).random((64, 64)), jnp.float32)
+    out = gaussian_blur(img, sigma=2.0)
+    assert out.shape == img.shape
+    assert float(jnp.std(out)) < float(jnp.std(img))
+    # Mean preserved (kernel sums to 1) away from boundary effects.
+    assert float(jnp.mean(out[8:-8, 8:-8])) == pytest.approx(
+        float(jnp.mean(img[8:-8, 8:-8])), abs=0.02
+    )
+
+
+def test_box_downsample_exact():
+    img = jnp.arange(16.0).reshape(4, 4)
+    out = box_downsample(img, 2)
+    np.testing.assert_allclose(np.asarray(out), [[2.5, 4.5], [10.5, 12.5]])
+
+
+def test_crop_resize_tile_roundtrip():
+    img = jnp.asarray(np.random.default_rng(1).random((96, 128)), jnp.float32)
+    sq = center_square_crop(img)
+    assert sq.shape == (96, 96)
+    small = box_resize(sq, 48)
+    assert small.shape == (48, 48)
+    up = box_resize(small, 96)
+    assert up.shape == (96, 96)
+    tiles = tile_grid(img, 32)
+    assert tiles.shape == (12, 32, 32)
+    back = untile_grid(tiles, 3, 4)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(img[:96, :128]))
+
+
+def test_random_crop_shape_and_bounds():
+    img = jnp.asarray(np.arange(64 * 64, dtype=np.float32).reshape(64, 64))
+    out = random_crop(jax.random.key(0), img, 16)
+    assert out.shape == (16, 16)
+    flat = np.asarray(out)
+    assert flat.min() >= 0 and flat.max() < 64 * 64
+
+
+def test_pipeline_determinism_and_resume():
+    data = synthetic_micrographs(10, 32)
+    cfg = PipelineConfig(batch_size=4, crop_size=32, seed=7, prefetch=2)
+    p1 = DataPipeline(data, cfg)
+    it1 = iter(p1)
+    batches1 = [next(it1) for _ in range(5)]
+
+    # Replay from scratch matches.
+    p2 = DataPipeline(data, cfg)
+    it2 = iter(p2)
+    batches2 = [next(it2) for _ in range(5)]
+    for a, b in zip(batches1, batches2):
+        np.testing.assert_array_equal(a, b)
+
+    # Resume from saved cursor reproduces the tail. The cursor is only
+    # well-defined on the synchronous generator (prefetch runs ahead),
+    # so drive _batches() directly for the resume check.
+    p3 = DataPipeline(data, cfg)
+    gen3 = p3._batches()
+    for _ in range(3):
+        next(gen3)
+    saved = p3.state_dict()
+    p4 = DataPipeline(data, cfg)
+    p4.load_state_dict(saved)
+    tail4 = [next(p4._batches()) for _ in range(2)]
+    tail1 = batches1[3:5]
+    for a, b in zip(tail1, tail4):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_pipeline_random_crop_from_large_images():
+    data = synthetic_micrographs(4, 64)
+    cfg = PipelineConfig(batch_size=2, crop_size=32, seed=0)
+    batch = next(iter(DataPipeline(data, cfg)))
+    assert batch.shape == (2, 32, 32)

@@ -1,0 +1,131 @@
+"""Native (C++) component tests: DM decoder parity vs the Python decoder,
+and the scopectl daemon end-to-end over a real socket."""
+
+import os
+import subprocess
+import time
+
+import numpy as np
+import pytest
+
+NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "native")
+BUILD = os.path.join(NATIVE_DIR, "build")
+
+
+def _ensure_built():
+    if not (os.path.exists(os.path.join(BUILD, "libemx_dm.so"))
+            and os.path.exists(os.path.join(BUILD, "scopectl"))):
+        r = subprocess.run(["make", "-C", NATIVE_DIR], capture_output=True)
+        if r.returncode != 0:
+            pytest.skip(f"native build unavailable: {r.stderr.decode()[-200:]}")
+
+
+@pytest.fixture(scope="module", autouse=True)
+def built():
+    _ensure_built()
+
+
+def test_native_decoder_available():
+    from emx.io import dm_native
+
+    assert dm_native.available()
+
+
+@pytest.mark.parametrize("version", [3, 4])
+@pytest.mark.parametrize("data_le", [True, False])
+@pytest.mark.parametrize("dtype", ["float32", "uint16", "float64"])
+def test_native_matches_python_decoder(tmp_path, version, data_le, dtype):
+    from emx.io import dm, dm_native
+
+    rng = np.random.default_rng(7)
+    if dtype.startswith("float"):
+        img = rng.random((20, 28)).astype(dtype)
+    else:
+        img = rng.integers(0, 5000, (20, 28)).astype(dtype)
+    path = str(tmp_path / f"t.dm{version}")
+    dm.write_dm(path, img, version=version, data_le=data_le,
+                scale=0.5, units="nm")
+
+    py = dm.read_dm(path, prefer_native=False)
+    nat = dm_native.read_dm(path)
+    assert nat.version == py.version
+    assert nat.data_little_endian == py.data_little_endian
+    im_py, im_nat = py.image(), nat.image()
+    np.testing.assert_array_equal(np.asarray(im_nat.data, im_py.data.dtype),
+                                  im_py.data)
+    assert im_nat.scale == pytest.approx(im_py.scale)
+    assert im_nat.units == im_py.units
+    assert im_nat.is_imaging_mode == im_py.is_imaging_mode
+
+
+def test_native_decoder_3d_stack(tmp_path):
+    from emx.io import dm, dm_native
+
+    stack = np.random.default_rng(0).random((4, 16, 16)).astype(np.float32)
+    path = str(tmp_path / "s.dm4")
+    dm.write_dm(path, stack, with_thumbnail=False)
+    im = dm_native.read_dm(path).image()
+    np.testing.assert_array_equal(im.data, stack)
+
+
+def test_native_decoder_rejects_garbage(tmp_path):
+    from emx.io import dm, dm_native
+
+    path = str(tmp_path / "bad.dm3")
+    with open(path, "wb") as f:
+        f.write(b"\x00\x00\x00\x03" + b"\xff" * 64)
+    with pytest.raises(dm.DMDecodeError):
+        dm_native.read_dm(path)
+
+
+@pytest.fixture(scope="module")
+def daemon():
+    # port 0 (ephemeral), 64px frames, seed 1, noiseless camera so the
+    # focus-metric check is deterministic.
+    proc = subprocess.Popen(
+        [os.path.join(BUILD, "scopectl"), "0", "64", "1", "0"],
+        stdout=subprocess.PIPE,
+    )
+    line = proc.stdout.readline().decode()
+    assert line.startswith("LISTENING ")
+    port = int(line.split()[1])
+    yield port
+    proc.terminate()
+    proc.wait(timeout=5)
+
+
+def test_daemon_protocol_end_to_end(daemon):
+    from emx.scope import MicroscopeClient, SocketTransport
+
+    client = MicroscopeClient(SocketTransport(port=daemon))
+    client.move_stage_abs(x=5.0, y=6.0, z=1.0)
+    assert client.get_stage() == (5.0, 6.0, 1.0)
+    client.set_focus(10.0)
+    client.change_focus(-4.0)
+    assert client.get_focus() == 6.0
+    img = client.get_image()
+    assert img.shape == (64, 64)
+    assert 0.0 <= img.min() and img.max() <= 1.0
+
+
+def test_daemon_focus_metric(daemon):
+    # The C++ camera reproduces the fringe physics: kurtosis-of-Laplacian
+    # is lower at the optimum z than defocused.
+    from emx.scope import MicroscopeClient, SocketTransport, fresnel_quantifier
+
+    client = MicroscopeClient(SocketTransport(port=daemon))
+    client.set_focus(0.0)  # clear state left by earlier protocol tests
+    ks = {}
+    for z in (-2.0, 0.0, 2.0):
+        client.move_stage_abs(z=z)
+        ks[z] = fresnel_quantifier(client.get_image())
+    assert ks[0.0] < ks[-2.0] and ks[0.0] < ks[2.0]
+
+
+def test_daemon_terminate(daemon):
+    from emx.scope import Instruction, SocketTransport
+
+    t = SocketTransport(port=daemon)
+    rows = t.execute([Instruction("EMGetStageX")])
+    assert rows[0][0] == "8"
+    t.close()

@@ -1,0 +1,212 @@
+"""Model + engine tests: forward shapes, pjit DP training on the 8-device
+CPU mesh, grad accumulation, checkpoint resume, lr hot-reload.
+
+CPU compiles of the conv model are expensive (~1 min each), so the suite
+shares one Trainer/state via module fixtures and checks engine arithmetic
+(grad accumulation) on a cheap linear model.
+"""
+
+import os
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from emx.data.degrade import denoiser_example
+from emx.data.pipeline import DataPipeline, PipelineConfig, synthetic_micrographs
+from emx.nn import Denoiser, DenoiserConfig
+from emx.parallel import make_mesh
+from emx.parallel.mesh import batch_sharding
+from emx.train import TrainConfig, Trainer
+from emx.train.engine import set_learning_rate
+from emx.train.losses import huberised_mse, ssim
+
+TINY = DenoiserConfig(features=(8, 8, 8, 8, 8), num_middle_blocks=0,
+                      aspp_filters=8, aspp_out=8, norm="group")
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh()
+
+
+@pytest.fixture(scope="module")
+def trainer(mesh):
+    model = Denoiser(TINY)
+    cfg = TrainConfig(learning_rate=0.03, optimizer="adam", log_every=0, seed=0)
+    return Trainer(model, cfg, mesh=mesh, example_fn=denoiser_example)
+
+
+@pytest.fixture(scope="module")
+def trained(trainer):
+    """Run a short fit once; several tests assert on the outcome."""
+    data = synthetic_micrographs(16, 32, seed=3)
+    pipe = DataPipeline(data, PipelineConfig(batch_size=8, crop_size=32))
+    state = trainer.init(jnp.zeros((8, 32, 32)))
+    # step_fn donates the state: keep an out-of-band copy of the init.
+    init_params = jax.tree_util.tree_map(jnp.copy, state.params)
+    sharding = batch_sharding(trainer.mesh)
+    it = iter(pipe)
+    losses = []
+    for _ in range(25):
+        batch = jax.device_put(next(it), sharding)
+        state, metrics = trainer.step_fn(state, batch)
+        losses.append(float(metrics["loss"]))
+    return state, losses, init_params
+
+
+def test_mesh_uses_8_devices(mesh):
+    assert mesh.devices.size == 8
+
+
+def test_denoiser_forward_shapes(trainer, trained):
+    state, _, _ = trained
+    x = jnp.zeros((2, 64, 64))
+    out = trainer.model.apply({"params": state.params}, x, train=False)
+    assert out.shape == (2, 64, 64)
+    assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+
+
+def test_train_loss_decreases_on_mesh(trained):
+    state, losses, _ = trained
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 25
+
+
+def test_training_improves_denoising(trainer, trained):
+    # A few dozen steps won't beat the raw noisy input, but must beat the
+    # untrained network on held-out data.
+    from emx.utils.image import psnr
+
+    state, _, init_params = trained
+    clean = jnp.asarray(synthetic_micrographs(4, 32, seed=12))
+    keys = jax.random.split(jax.random.key(99), 4)
+    noisy, target = jax.vmap(denoiser_example)(keys, clean)
+    out_trained = trainer.model.apply({"params": state.params}, noisy, train=False)
+    out_init = trainer.model.apply({"params": init_params}, noisy, train=False)
+    assert float(psnr(out_trained, target)) > float(psnr(out_init, target))
+
+
+def test_denoiser_batchnorm_collects_stats():
+    model = Denoiser(DenoiserConfig(features=(8, 8, 8, 8, 8),
+                                    num_middle_blocks=0, aspp_filters=8,
+                                    aspp_out=8, norm="batch"))
+    x = jnp.ones((1, 32, 32))
+    variables = model.init(jax.random.key(0), x, train=False)
+    assert "batch_stats" in variables
+    out, updates = model.apply(variables, x, train=True, mutable=["batch_stats"])
+    assert out.shape == (1, 32, 32)
+    # Moving stats actually moved.
+    before = jax.tree_util.tree_leaves(variables["batch_stats"])
+    after = jax.tree_util.tree_leaves(updates["batch_stats"])
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(before, after)
+    )
+
+
+def test_huberised_mse_regimes():
+    p = jnp.zeros((4, 4))
+    small = huberised_mse(p, p + 0.01)  # mse=1e-4 < 1e-3 -> 1000*mse
+    assert float(small) == pytest.approx(0.1, rel=1e-4)
+    big = huberised_mse(p, p + 1.0)  # mse=1 -> sqrt(1000)
+    assert float(big) == pytest.approx(np.sqrt(1000.0), rel=1e-5)
+
+
+def test_ssim_identity_and_noise():
+    img = jnp.asarray(synthetic_micrographs(1, 64)[0])[..., None][None]
+    assert float(ssim(img, img)) == pytest.approx(1.0, abs=1e-5)
+    noisy = img + 0.3 * jax.random.normal(jax.random.key(0), img.shape)
+    assert float(ssim(img, noisy)) < 0.7
+
+
+class _LinearModel(nn.Module):
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w = x.shape
+        y = nn.Dense(16)(x.reshape(b, -1))
+        y = nn.Dense(h * w)(y)
+        return y.reshape(b, h, w)
+
+
+def test_grad_accum_matches_big_batch(mesh):
+    # grad_accum=2 on batch 8 must match the single-shot batch-8 step when
+    # the per-example pipeline (keys) is identical: verified on a linear
+    # model with a fixed (input, target) batch so the math is exact.
+    data = synthetic_micrographs(8, 16, seed=5)
+    inputs = jnp.asarray(data)
+    targets = inputs * 0.5 + 0.1
+    batch = (inputs, targets)
+
+    def run(accum):
+        cfg = TrainConfig(learning_rate=0.05, optimizer="nesterov",
+                          grad_accum=accum, log_every=0, seed=1)
+        # Plain MSE: linear in microbatch averaging, so accumulation is
+        # exactly equivalent (the default huberised loss is not).
+        tr = Trainer(_LinearModel(), cfg, mesh=mesh, example_fn=None,
+                     loss_fn=lambda p, t: jnp.mean((p - t) ** 2))
+        state = tr.init(jnp.zeros((8, 16, 16)))
+        state, m = tr.step_fn(state, batch)
+        return state, m
+
+    s1, _ = run(1)
+    s2, _ = run(2)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_fit_checkpoint_and_resume(mesh, trainer, tmp_path):
+    from emx.train.checkpoints import Checkpointer
+
+    # Reuse the module trainer's compiled step; checkpoint cadence and
+    # logging are host-side, safe to mutate on cfg.
+    trainer.cfg.ckpt_every_steps = 4
+    trainer.cfg.log_every = 2
+    trainer.cfg.model_dir = str(tmp_path / "run")
+    trainer.logger = type(trainer.logger)(trainer.cfg.model_dir)
+    data = synthetic_micrographs(16, 32, seed=7)
+    pipe = DataPipeline(data, PipelineConfig(batch_size=8, crop_size=32))
+    state = trainer.init(jnp.zeros((8, 32, 32)))
+    ckpt = Checkpointer(str(tmp_path / "ckpt"))
+    state = trainer.fit(state, pipe, num_steps=5, checkpointer=ckpt)
+    ckpt.manager.wait_until_finished()
+    assert ckpt.latest_step() == 4
+
+    template = trainer.init(jnp.zeros((8, 32, 32)))
+    restored, pipe_state = ckpt.restore(template)
+    assert int(restored.step) == 4
+    assert pipe_state is not None
+    assert os.path.exists(os.path.join(trainer.cfg.model_dir, "metrics.jsonl"))
+    ckpt.close()
+    trainer.cfg.ckpt_every_steps = 0
+    trainer.cfg.log_every = 0
+
+
+def test_lr_hot_reload_updates_opt_state():
+    # Pure optax check — no model compile needed.
+    opt = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.inject_hyperparams(optax.adam)(learning_rate=0.01),
+    )
+    opt_state = opt.init({"w": jnp.zeros(3)})
+    new_opt = set_learning_rate(opt_state, 0.5)
+
+    found = []
+
+    def collect(node):
+        hp = getattr(node, "hyperparams", None)
+        if isinstance(hp, dict) and "learning_rate" in hp:
+            found.append(float(hp["learning_rate"]))
+        if isinstance(node, tuple):
+            for c in node:
+                collect(c)
+
+    collect(new_opt)
+    assert found and all(v == 0.5 for v in found)
+    # Update must be usable.
+    g = {"w": jnp.ones(3)}
+    updates, _ = opt.update(g, new_opt, {"w": jnp.zeros(3)})
+    assert np.isfinite(np.asarray(updates["w"])).all()

@@ -107,10 +107,12 @@ def test_image_stats_fields_and_values():
     assert abs(float(stats["skewness"])) < 0.1
 
 
-def test_image_stats_vmappable():
+def test_image_stats_vmappable_and_finite():
     imgs = jnp.asarray(np.random.default_rng(4).random((3, 64, 64)), jnp.float32)
     stats = jax.vmap(physics.image_stats)(imgs)
     assert stats["mean"].shape == (3,)
+    for name, v in stats.items():
+        assert np.isfinite(np.asarray(v)).all(), name
 
 
 def test_radial_profile_peak_matches_frequency():

@@ -1,0 +1,128 @@
+"""Tiled inference, artifact export, and HTTP serving tests."""
+
+import http.client
+import io
+import json
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def test_tiled_apply_identity_reconstructs():
+    from emx.serve.tiling import tiled_apply
+
+    img = np.random.default_rng(0).random((100, 140)).astype(np.float32)
+    out = tiled_apply(lambda x: x, jnp.asarray(img), tile=48, overlap=16, batch=3)
+    np.testing.assert_allclose(np.asarray(out), img, atol=1e-5)
+
+
+def test_tiled_apply_small_image_pads():
+    from emx.serve.tiling import tiled_apply
+
+    img = np.random.default_rng(1).random((20, 30)).astype(np.float32)
+    out = tiled_apply(lambda x: x, jnp.asarray(img), tile=32, overlap=8, batch=2)
+    assert out.shape == (20, 30)
+    np.testing.assert_allclose(np.asarray(out), img, atol=1e-5)
+
+
+def test_tiled_applier_with_model():
+    from emx.nn import Denoiser, DenoiserConfig
+    from emx.serve.tiling import TiledApplier
+
+    model = Denoiser(DenoiserConfig(features=(8, 12, 16, 24, 24),
+                                    num_middle_blocks=1, aspp_filters=16,
+                                    aspp_out=16, norm="group"))
+    import jax
+
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 32, 32)))
+    applier = TiledApplier(model, variables, tile=32, overlap=8, batch=2)
+    out = applier(np.random.default_rng(2).random((64, 80)).astype(np.float32))
+    assert out.shape == (64, 80)
+    assert float(jnp.min(out)) >= 0.0 and float(jnp.max(out)) <= 1.0
+
+
+def test_artifact_roundtrip(tmp_path):
+    import jax
+
+    from emx.nn import Denoiser, DenoiserConfig
+    from emx.serve.export import load_artifact, save_artifact
+
+    cfg = DenoiserConfig(features=(8, 12, 16, 24, 24), num_middle_blocks=1,
+                         aspp_filters=16, aspp_out=16, norm="group")
+    model = Denoiser(cfg)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 32, 32)))
+    x = jnp.asarray(np.random.default_rng(0).random((1, 32, 32)), jnp.float32)
+    expect = model.apply(variables, x, train=False)
+
+    path = str(tmp_path / "artifact")
+    save_artifact(path, "denoiser", cfg.__dict__, variables)
+    art = load_artifact(path, template_variables=variables)
+    out = art.apply_fn()(x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect), atol=1e-6)
+
+    # Load without a template too (pure msgpack restore).
+    art2 = load_artifact(path)
+    out2 = art2.apply_fn()(x)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(expect), atol=1e-6)
+
+
+def _post_npy(port, arr):
+    buf = io.BytesIO()
+    np.save(buf, arr)
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+    conn.request("POST", "/api/predict", body=buf.getvalue())
+    resp = conn.getresponse()
+    assert resp.status == 200, resp.read()
+    return np.load(io.BytesIO(resp.read()))
+
+
+def test_inference_server_end_to_end():
+    from emx.serve.server import InferenceServer
+
+    srv = InferenceServer(lambda x: x * 2.0, port=0, max_batch=4)
+    srv.start()
+    try:
+        img = np.random.default_rng(3).random((16, 16)).astype(np.float32)
+        out = _post_npy(srv.port, img)
+        np.testing.assert_allclose(out, img * 2.0, atol=1e-6)
+
+        conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=10)
+        conn.request("GET", "/healthz")
+        assert json.loads(conn.getresponse().read())["status"] == "ok"
+        conn.request("GET", "/metrics")
+        metrics = json.loads(conn.getresponse().read())
+        assert metrics["requests"] >= 1
+    finally:
+        srv.stop()
+
+
+def test_inference_server_batches_concurrent_requests():
+    import threading
+
+    from emx.serve.server import InferenceServer
+
+    seen_batches = []
+
+    def apply_fn(x):
+        seen_batches.append(x.shape[0])
+        return x + 1.0
+
+    srv = InferenceServer(apply_fn, port=0, max_batch=8)
+    srv.start()
+    try:
+        img = np.ones((8, 8), np.float32)
+        results = [None] * 6
+
+        def call(i):
+            results[i] = _post_npy(srv.port, img)
+
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for r in results:
+            np.testing.assert_allclose(r, img + 1.0)
+    finally:
+        srv.stop()
