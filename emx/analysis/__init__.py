@@ -8,6 +8,8 @@ from emx.analysis.filters import (
     compare_denoisers,
 )
 from emx.analysis.stats import shannon_entropy, gram_matrix, gram_histogram
+from emx.analysis.pearson import pearson_from_moments, classify_family, moment_redistributor
+from emx.analysis.optim_demo import rosenbrock, optimize_rosenbrock, compare_optimizers
 
 __all__ = [
     "gaussian_filter",
@@ -20,4 +22,10 @@ __all__ = [
     "shannon_entropy",
     "gram_matrix",
     "gram_histogram",
+    "pearson_from_moments",
+    "classify_family",
+    "moment_redistributor",
+    "rosenbrock",
+    "optimize_rosenbrock",
+    "compare_optimizers",
 ]

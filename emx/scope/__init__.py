@@ -7,6 +7,7 @@ from emx.scope.protocol import (
 )
 from emx.scope.sim import SimulatedMicroscope, FileMarionette
 from emx.scope.env import FresnelEnv, fresnel_quantifier
+from emx.scope.classifier import FringeClassifier, train_fringe_classifier
 
 __all__ = [
     "OPCODES",
@@ -18,4 +19,6 @@ __all__ = [
     "FileMarionette",
     "FresnelEnv",
     "fresnel_quantifier",
+    "FringeClassifier",
+    "train_fringe_classifier",
 ]

@@ -88,6 +88,28 @@ def load_artifact(path: str, template_variables: Any | None = None) -> Artifact:
     return Artifact(meta["model_name"], meta["config"], variables)
 
 
+def export_compiled(path: str, fn: Callable, example_args: tuple) -> None:
+    """Serialize a jitted function to portable StableHLO bytes — the true
+    "frozen graph" (reference tf_utility/freeze_graph.py:10-59): callers
+    can execute it without any model code."""
+    import jax.export as jexport
+
+    exported = jexport.export(jax.jit(fn))(*example_args)
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "module.stablehlo"), "wb") as f:
+        f.write(exported.serialize())
+
+
+def load_compiled(path: str) -> Callable:
+    """Load a StableHLO artifact and return a callable (reference
+    retrieve_frozen_graph.py:3-16 / utilize_frozen_graph.py)."""
+    import jax.export as jexport
+
+    with open(os.path.join(path, "module.stablehlo"), "rb") as f:
+        exported = jexport.deserialize(f.read())
+    return lambda *args: exported.call(*args)
+
+
 # Register the zoo.
 @register_model("denoiser")
 def _make_denoiser(config: dict):
