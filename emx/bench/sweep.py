@@ -63,7 +63,13 @@ def main(argv: list[str]) -> None:
         "base16": (base, 16),
         "base64": (base, 64),
         "s2d2_16": (base.__class__(**{**base.__dict__, "space_to_depth": 2}), 16),
+        "s2d2_32": (base.__class__(**{**base.__dict__, "space_to_depth": 2}), 32),
         "s2d2_64": (base.__class__(**{**base.__dict__, "space_to_depth": 2}), 64),
+        "s2d4_32": (base.__class__(**{**base.__dict__, "space_to_depth": 4}), 32),
+        "s2d4_64": (base.__class__(**{**base.__dict__, "space_to_depth": 4}), 64),
+        "s2d2_128": (base.__class__(**{**base.__dict__, "space_to_depth": 2}), 128),
+        "s2d4_128": (base.__class__(**{**base.__dict__, "space_to_depth": 4}), 128),
+        "s2d4_256": (base.__class__(**{**base.__dict__, "space_to_depth": 4}), 256),
         "ref16": (base.__class__(**{**base.__dict__, "aspp_separable": False,
                                     "upsample": "transpose"}), 16),
         "nonorm16": (base.__class__(**{**base.__dict__, "norm": "none"}), 16),

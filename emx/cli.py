@@ -13,9 +13,17 @@ from __future__ import annotations
 
 import dataclasses
 import glob
+import os
 import sys
 
 import jax
+
+# sitecustomize may import jax before this process's environment is
+# consulted, freezing jax_platforms; re-assert the env var explicitly so
+# `JAX_PLATFORMS=cpu python -m emx.cli ...` works everywhere.
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -55,6 +63,8 @@ def train_denoiser(argv: list[str]) -> None:
     from emx.train import TrainConfig, Trainer
     from emx.train.checkpoints import Checkpointer
 
+    from emx.parallel.mesh import make_mesh_for_batch
+
     c = DenoiserCLIConfig.from_args(argv)
     mcfg = DenoiserConfig().scaled(c.scale) if c.scale != 1.0 else DenoiserConfig()
     trainer = Trainer(
@@ -62,6 +72,7 @@ def train_denoiser(argv: list[str]) -> None:
         TrainConfig(learning_rate=c.learning_rate, grad_accum=c.grad_accum,
                     model_dir=c.model_dir, ckpt_every_steps=c.ckpt_every_steps,
                     seed=c.seed),
+        mesh=make_mesh_for_batch(c.batch_size),
         example_fn=denoiser_example,
     )
     pipe = _pipeline(c.data_dir, c.batch_size, c.crop_size, c.seed)
@@ -100,12 +111,15 @@ def train_infilling(argv: list[str]) -> None:
     from emx.train.checkpoints import Checkpointer
     from emx.train.gan import GANConfig, GANTrainer
 
+    from emx.parallel.mesh import make_mesh_for_batch
+
     c = InfillingCLIConfig.from_args(argv)
     mask = fixed_scan_mask((c.crop_size, c.crop_size), 1.0 / c.coverage)
     cfg = InfillingConfig()
     trainer = GANTrainer(
         InfillingGenerator(cfg), MultiscaleDiscriminator(cfg),
         GANConfig(model_dir=c.model_dir, ckpt_every_steps=10_000, seed=c.seed),
+        mesh=make_mesh_for_batch(c.batch_size),
         example_fn=functools.partial(infilling_example, mask=mask),
     )
     pipe = _pipeline(c.data_dir, c.batch_size, c.crop_size, c.seed)

@@ -35,6 +35,18 @@ def make_mesh(
     return Mesh(dev_array, ("data", "spatial"))
 
 
+def make_mesh_for_batch(batch_size: int, spatial: int = 1,
+                        devices: list | None = None) -> Mesh:
+    """Largest 'data' axis that both divides `batch_size` and fits the
+    device count — lets small debug batches run on big meshes."""
+    import math
+
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices) // spatial
+    data = math.gcd(batch_size, n)
+    return make_mesh(data=data, spatial=spatial, devices=devices[: data * spatial])
+
+
 def batch_sharding(mesh: Mesh, spatial_dims: int = 0) -> NamedSharding:
     """Sharding for a batch array: batch dim over 'data'; optionally the
     leading spatial (H) dim over 'spatial' for halo-parallel images."""

@@ -122,6 +122,35 @@ def test_daemon_focus_metric(daemon):
     assert ks[0.0] < ks[-2.0] and ks[0.0] < ks[2.0]
 
 
+def test_daemon_concurrent_clients(daemon):
+    # Race-safety: many clients hammer the daemon at once; shared camera
+    # state is mutex-guarded (the TSAN build target `make -C native tsan`
+    # exists for deeper checking).
+    import threading
+
+    from emx.scope import MicroscopeClient, SocketTransport
+
+    errors = []
+
+    def worker(i):
+        try:
+            c = MicroscopeClient(SocketTransport(port=daemon))
+            for _ in range(5):
+                c.shift_stage(dz=0.1)
+                img = c.get_image()
+                assert img.shape == (64, 64)
+            c.transport.close()
+        except Exception as e:
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert not errors, errors
+
+
 def test_daemon_terminate(daemon):
     from emx.scope import Instruction, SocketTransport
 
