@@ -29,15 +29,17 @@ BASELINE_IMG_S = 5000.0
 def main() -> None:
     from emx.nn import Denoiser, DenoiserConfig
 
-    # Profiles (v5e measurements in emx/nn/denoiser.py docstring):
-    #   fast    — space_to_depth=4, batch 64: ~4300 img/s, quality on par
-    #             with the full-resolution reference-style arch
+    # Profiles (measurement ladder in docs/architecture.md):
+    #   fast    — space_to_depth=4, batch 64
     #   quality — space_to_depth=2 (flagship default, best PSNR in the
-    #             synthetic study), batch 64: ~1150 img/s
+    #             synthetic study)
+    # Both run the deployment graph: a BatchNorm-trained model folded
+    # into its norm-free twin (emx.serve.optimize.fold_batchnorm — exact
+    # at inference; norm ops otherwise cost ~43% of runtime on v5e).
     profile = os.environ.get("EMX_BENCH_PROFILE", "fast")
     s2d = 4 if profile == "fast" else 2
     batch = int(os.environ.get("EMX_BENCH_BATCH", "64"))
-    cfg = DenoiserConfig(norm="group", dtype=jnp.bfloat16, space_to_depth=s2d)
+    cfg = DenoiserConfig(norm="none", dtype=jnp.bfloat16, space_to_depth=s2d)
     model = Denoiser(cfg)
     x0 = jnp.zeros((batch, 512, 512), jnp.float32)
     variables = model.init(jax.random.key(0), x0, train=False)
@@ -46,7 +48,7 @@ def main() -> None:
     # so per-launch host/tunnel latency is amortised, and force a host
     # readback of the accumulator — on tunneled backends
     # block_until_ready can return before remote execution completes.
-    chain = 8
+    chain = int(os.environ.get("EMX_BENCH_CHAIN", "16"))
 
     @jax.jit
     def run_chain(v, xs):

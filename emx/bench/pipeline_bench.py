@@ -1,0 +1,67 @@
+"""Input-pipeline throughput: host loader (TIFF read + crop) and on-device
+degradation rates — verifies the loader sustains the denoise target
+without a host bottleneck (BASELINE.md row 4; SURVEY.md §7 hard part 5).
+
+Usage: python -m emx.bench.pipeline_bench [n_files] [crop]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main(n_files: int = 256, crop: int = 512) -> None:
+    from emx.data.degrade import denoiser_example
+    from emx.data.pipeline import DataPipeline, PipelineConfig
+    from emx.io.tiff import write_tiff
+
+    tmp = tempfile.mkdtemp(prefix="emx_pipe_bench_")
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(n_files):
+        p = os.path.join(tmp, f"{i}.tif")
+        write_tiff(p, rng.random((crop, crop), np.float32).astype(np.float32))
+        paths.append(p)
+
+    pipe = DataPipeline(paths, PipelineConfig(batch_size=32, crop_size=crop,
+                                              num_workers=8, prefetch=8))
+    it = iter(pipe)
+    next(it)  # warm the thread pool
+    n_batches = 20
+    t0 = time.perf_counter()
+    for _ in range(n_batches):
+        next(it)
+    host_rate = 32 * n_batches / (time.perf_counter() - t0)
+
+    # On-device degradation rate (runs inside the train step in practice).
+    batch = jnp.asarray(rng.random((32, crop, crop), np.float32))
+    keys = jax.random.split(jax.random.key(0), 32)
+    degrade = jax.jit(jax.vmap(denoiser_example))
+    jax.block_until_ready(degrade(keys, batch))
+    t0 = time.perf_counter()
+    acc = jnp.zeros(())
+    for i in range(10):
+        lq, tgt = degrade(jax.random.split(jax.random.key(i), 32), batch)
+        acc = acc + jnp.sum(lq)
+    float(acc)
+    degrade_rate = 320 / (time.perf_counter() - t0)
+
+    print(json.dumps({
+        "metric": "input_pipeline",
+        "host_loader_img_per_s": round(host_rate, 1),
+        "device_degrade_img_per_s": round(degrade_rate, 1),
+        "crop": crop,
+    }))
+
+
+if __name__ == "__main__":
+    args = [int(a) for a in sys.argv[1:]]
+    main(*args)

@@ -49,11 +49,11 @@ class SmallAutoencoder(nn.Module):
         for f in cfg.features:
             h = SepConvBlock(f, strides=2, **kw)(h, train)
         h = SepConvBlock(cfg.bottleneck, **kw)(h, train)
+        from emx.nn.blocks import DeconvBlock
+
         for f in reversed(cfg.features):
-            h = nn.ConvTranspose(f, (3, 3), strides=(2, 2), padding="SAME",
-                                 dtype=cfg.dtype)(h)
-            h = Norm(cfg.norm, dtype=cfg.dtype)(h, train)
-            h = relu6(h)
+            h = DeconvBlock(f, norm=cfg.norm, mode="transpose",
+                            dtype=cfg.dtype)(h, train)
         out = nn.Conv(1, (3, 3), padding="SAME", dtype=cfg.dtype)(h)
         out = Norm("instance", dtype=cfg.dtype)(out).astype(jnp.float32)
         return out[..., 0] if squeeze else out
@@ -124,19 +124,15 @@ class XceptionAutoencoder(nn.Module):
 
         # Decoder back to full resolution: one up per downsample
         # (stem stride-2 + each entry block + exit block).
+        from emx.nn.blocks import DeconvBlock
+
         num_ups = 1 + len(cfg.entry_features) + 1
         feats = list(cfg.decoder_features)
         while len(feats) < num_ups:
             feats.append(feats[-1])
-        for f in feats[: num_ups - 1]:
-            h = nn.ConvTranspose(f, (3, 3), strides=(2, 2), padding="SAME",
-                                 dtype=cfg.dtype)(h)
-            h = Norm(cfg.norm, dtype=cfg.dtype)(h, train)
-            h = relu6(h)
-        h = nn.ConvTranspose(feats[num_ups - 1], (3, 3), strides=(2, 2),
-                             padding="SAME", dtype=cfg.dtype)(h)
-        h = Norm(cfg.norm, dtype=cfg.dtype)(h, train)
-        h = relu6(h)
+        for f in feats[:num_ups]:
+            h = DeconvBlock(f, norm=cfg.norm, mode="transpose",
+                            dtype=cfg.dtype)(h, train)
         out = nn.Conv(1, (3, 3), padding="SAME", dtype=cfg.dtype)(h)
         out = jnp.clip(out.astype(jnp.float32), 0.0, 1.0)
         return out[..., 0] if squeeze else out
