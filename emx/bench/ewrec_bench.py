@@ -25,11 +25,13 @@ def main(n_slices: int = 15, side: int = 512, num_iter: int = 50) -> None:
     amps = jnp.asarray(rng.random((n_slices, side, side)), jnp.float32)
     defocuses = jnp.asarray(np.linspace(-700, 700, n_slices), jnp.float32)
 
-    to_focus = _ctf_stack(defocuses, side, cfg.wavelength, cfg.px_dim, -1.0)
-    to_plane = _ctf_stack(defocuses, side, cfg.wavelength, cfg.px_dim, +1.0)
-
     @jax.jit
-    def run(a):
+    def run(a, dfs):
+        # Build complex CTF stacks INSIDE the jit: complex arrays must not
+        # cross the host boundary on tunneled backends.
+        to_focus = _ctf_stack(dfs, side, cfg.wavelength, cfg.px_dim, -1.0)
+        to_plane = _ctf_stack(dfs, side, cfg.wavelength, cfg.px_dim, +1.0)
+
         def body(_, psi):
             ew = jnp.mean(jnp.fft.ifft2(jnp.fft.fft2(psi) * to_focus), axis=0)
             back = jnp.fft.ifft2(jnp.fft.fft2(ew)[None] * to_plane)
@@ -38,12 +40,12 @@ def main(n_slices: int = 15, side: int = 512, num_iter: int = 50) -> None:
         psi = jax.lax.fori_loop(0, num_iter, body, a.astype(jnp.complex64))
         return jnp.sum(jnp.abs(psi))
 
-    float(run(amps))  # compile + roundtrip
+    float(run(amps, defocuses))  # compile + roundtrip
     n_calls = 5
     t0 = time.perf_counter()
     acc = 0.0
     for _ in range(n_calls):
-        acc += float(run(amps))
+        acc += float(run(amps, defocuses))
     dt = time.perf_counter() - t0
     iters_per_s = num_iter * n_calls / dt
     print(json.dumps({

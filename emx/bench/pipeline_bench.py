@@ -42,15 +42,23 @@ def main(n_files: int = 256, crop: int = 512) -> None:
     host_rate = 32 * n_batches / (time.perf_counter() - t0)
 
     # On-device degradation rate (runs inside the train step in practice).
+    # Everything — key derivation included — inside ONE jit per launch:
+    # eager jax.random ops cost a full dispatch round-trip each on
+    # tunneled backends.
     batch = jnp.asarray(rng.random((32, crop, crop), np.float32))
-    keys = jax.random.split(jax.random.key(0), 32)
-    degrade = jax.jit(jax.vmap(denoiser_example))
-    jax.block_until_ready(degrade(keys, batch))
+
+    @jax.jit
+    def degrade_sum(step, x):
+        keys = jax.random.split(jax.random.fold_in(jax.random.key(0), step),
+                                x.shape[0])
+        lq, tgt = jax.vmap(denoiser_example)(keys, x)
+        return jnp.sum(lq) + jnp.sum(tgt)
+
+    float(degrade_sum(jnp.int32(0), batch))
     t0 = time.perf_counter()
     acc = jnp.zeros(())
     for i in range(10):
-        lq, tgt = degrade(jax.random.split(jax.random.key(i), 32), batch)
-        acc = acc + jnp.sum(lq)
+        acc = acc + degrade_sum(jnp.int32(i), batch)
     float(acc)
     degrade_rate = 320 / (time.perf_counter() - t0)
 

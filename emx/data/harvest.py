@@ -165,6 +165,26 @@ def crop_dataset(
     return counts
 
 
+def pack_crops(crop_dir: str, out_path: str, tile: int = 512) -> int:
+    """Pack a directory of same-size TIFF crops into one (N, tile, tile)
+    float32 .npy — the training fast path (memmap-able; the host TIFF
+    loader tops out ~300 img/s at 512^2, the packed array is memory-rate).
+    Returns N."""
+    import glob as _g
+
+    from emx.io.tiff import read_tiff
+
+    paths = sorted(_g.glob(os.path.join(crop_dir, "*.tif")))
+    if not paths:
+        return 0
+    out = np.empty((len(paths), tile, tile), np.float32)
+    for i, p in enumerate(paths):
+        out[i] = read_tiff(p, fallback_shape=(tile, tile))[:tile, :tile]
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    np.save(out_path, out)
+    return len(paths)
+
+
 def stats_to_csv(manifests: list[Manifest], csv_path: str) -> None:
     """Flatten stat compendiums to CSV (data_from_compendiums.m:1-133)."""
     os.makedirs(os.path.dirname(os.path.abspath(csv_path)), exist_ok=True)

@@ -53,6 +53,7 @@ class TrainConfig(Config):
     weight_decay: float = config_field(0.0, "L2 penalty")
     grad_accum: int = config_field(1, "microbatches per step (reference x5)")
     log_every: int = config_field(100, "steps between metric lines")
+    sample_every: int = config_field(0, "dump input/truth/output TIFFs every N steps (0 off)")
     ckpt_every_steps: int = config_field(0, "0 disables step-periodic saves")
     ckpt_every_secs: float = config_field(0.0, "0 disables time-periodic saves")
     model_dir: str = config_field("", "checkpoint/log directory")
@@ -274,6 +275,10 @@ class Trainer:
             if eval_fn and eval_every and step % eval_every == 0:
                 eval_fn(state, step)
 
+            if (cfg.sample_every and cfg.model_dir
+                    and step % cfg.sample_every == 0):
+                self._dump_samples(state, batch, step)
+
             if checkpointer is not None:
                 due_steps = cfg.ckpt_every_steps and step % cfg.ckpt_every_steps == 0
                 due_time = (
@@ -284,3 +289,38 @@ class Trainer:
                     checkpointer.save(step, state, pipeline.state_dict())
                     last_save = time.monotonic()
         return state
+
+    def _dump_samples(self, state: TrainState, batch, step: int) -> None:
+        """Periodic input/truth/output TIFF triples (reference
+        gan-infilling-100.py:1694-1703 saves the same set)."""
+        import numpy as np
+
+        from emx.io.tiff import write_tiff
+        from emx.utils.image import scale0to1
+
+        try:
+            if self.example_fn is not None:
+                key = jax.random.fold_in(
+                    jax.random.wrap_key_data(state.rng), 0x5A5A5A
+                )
+                first = jax.tree_util.tree_map(lambda x: x[:1], batch)
+                inputs, targets = jax.vmap(self.example_fn)(
+                    jax.random.split(key, 1), first
+                )
+            else:
+                inputs, targets = (jax.tree_util.tree_map(
+                    lambda x: x[:1], b) for b in batch)
+            out = self.model.apply(
+                {"params": state.params, **(
+                    {"batch_stats": state.batch_stats}
+                    if jax.tree_util.tree_leaves(state.batch_stats) else {}
+                )},
+                inputs, train=False,
+            )
+            d = os.path.join(self.cfg.model_dir, "samples")
+            for name, img in (("input", inputs), ("truth", targets),
+                              ("output", out)):
+                arr = np.asarray(scale0to1(jnp.asarray(img[0])), np.float32)
+                write_tiff(os.path.join(d, f"{step}_{name}.tif"), arr)
+        except Exception as e:  # sample dumps must never kill training
+            self.logger.log(step, sample_dump_error=str(e)[:120])
