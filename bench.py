@@ -43,6 +43,12 @@ def main() -> None:
     model = Denoiser(cfg)
     x0 = jnp.zeros((batch, 512, 512), jnp.float32)
     variables = model.init(jax.random.key(0), x0, train=False)
+    # bf16-resident weights: halves weight HBM traffic (compute is bf16
+    # anyway; flax would otherwise re-cast f32 params at every use).
+    variables = jax.tree_util.tree_map(
+        lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p,
+        variables,
+    )
 
     # Chain `chain` forward passes on-device inside ONE program (lax.scan)
     # so per-launch host/tunnel latency is amortised, and force a host
@@ -66,7 +72,7 @@ def main() -> None:
 
     float(run_chain(variables, xs))  # compile + full roundtrip
 
-    n_launches = 5
+    n_launches = 8
     t0 = time.perf_counter()
     acc = jnp.zeros((), jnp.float32)
     for _ in range(n_launches):

@@ -18,11 +18,9 @@ import sys
 
 import jax
 
-# sitecustomize may import jax before this process's environment is
-# consulted, freezing jax_platforms; re-assert the env var explicitly so
-# `JAX_PLATFORMS=cpu python -m emx.cli ...` works everywhere.
-if os.environ.get("JAX_PLATFORMS"):
-    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+from emx.utils.platform import respect_env_platforms
+
+respect_env_platforms()
 
 import jax.numpy as jnp
 import numpy as np
