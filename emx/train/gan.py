@@ -301,8 +301,13 @@ class GANTrainer:
         pipeline,
         num_steps: int,
         checkpointer=None,
+        eval_fn=None,
+        eval_every: int = 0,
     ) -> GANState:
-        """Host loop: adaptive trainee switching + collapse rollback."""
+        """Host loop: adaptive trainee switching + collapse rollback.
+        `eval_fn(state, step)` runs every `eval_every` steps — the
+        reference's val pass every val_skip_n iterations
+        (gan-infilling-100.py:123,1834-1901)."""
         cfg = self.cfg
         sharding = batch_sharding(self.mesh)
         batch_size = getattr(getattr(pipeline, "cfg", None), "batch_size", 1)
@@ -347,6 +352,9 @@ class GANTrainer:
                 if tp:
                     vals.update(tp)
                 self.logger.log(step, **vals)
+
+            if eval_fn and eval_every and step % eval_every == 0:
+                eval_fn(state, step)
 
             if checkpointer is not None and cfg.ckpt_every_steps and \
                     step % cfg.ckpt_every_steps == 0:

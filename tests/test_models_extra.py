@@ -188,3 +188,19 @@ def test_profile_mlp_and_equalizer():
     variables = mlp.init(jax.random.key(0), jnp.asarray(eqf))
     out = mlp.apply(variables, jnp.asarray(eqf))
     assert out.shape == (6, 1)
+
+
+def test_fractal_recursive_conv_weight_sharing():
+    from emx.nn.fractal import FractalConfig, RecursiveFractalConv
+
+    model = RecursiveFractalConv(FractalConfig(features=8, turns=3,
+                                               norm="group"))
+    x = jnp.zeros((2, 16, 16))
+    variables = model.init(jax.random.key(0), x)
+    out = model.apply(variables, x)
+    assert out.shape == (2, 16, 16)
+    # Recursion uses ONE weight set regardless of turns: the param tree
+    # has exactly one `recur` entry.
+    assert "recur" in variables["params"]
+    n_recur = sum(1 for k in variables["params"] if k.startswith("recur"))
+    assert n_recur == 1
