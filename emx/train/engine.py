@@ -52,6 +52,7 @@ class TrainConfig(Config):
     grad_clip_norm: float = config_field(0.0, "0 disables clipping")
     weight_decay: float = config_field(0.0, "L2 penalty")
     grad_accum: int = config_field(1, "microbatches per step (reference x5)")
+    steps_per_launch: int = config_field(1, "optimizer steps fused into one device launch")
     log_every: int = config_field(100, "steps between metric lines")
     sample_every: int = config_field(0, "dump input/truth/output TIFFs every N steps (0 off)")
     ckpt_every_steps: int = config_field(0, "0 disables step-periodic saves")
@@ -127,6 +128,8 @@ class Trainer:
         self.loss_fn = loss_fn
         self.optimizer = make_optimizer(cfg)
         self._step_fn = None
+        self._multi_step_fn = None
+        self._step_core = None
         self.logger = MetricsLogger(cfg.model_dir or None)
         self._lr_poll = (
             watch_file(os.path.join(cfg.model_dir, "learning_rate.txt"))
@@ -227,6 +230,7 @@ class Trainer:
                        "grad_norm": optax.global_norm(grads)}
             return new_state, metrics
 
+        self._step_core = step
         return jax.jit(step, donate_argnums=(0,))
 
     @property
@@ -234,6 +238,25 @@ class Trainer:
         if self._step_fn is None:
             self._step_fn = self._build_step()
         return self._step_fn
+
+    @property
+    def multi_step_fn(self):
+        """(state, batches[K, B, ...]) -> (state, last-step metrics): runs
+        K optimizer steps inside ONE XLA program via lax.scan. On
+        dispatch-latency-bound setups this multiplies training throughput
+        (a single fused launch replaced K host round-trips)."""
+        if self._multi_step_fn is None:
+            if self._step_fn is None:
+                self._step_fn = self._build_step()
+            core = self._step_core
+
+            def multi(state, batches):
+                state, metrics = jax.lax.scan(core, state, batches)
+                last = jax.tree_util.tree_map(lambda m: m[-1], metrics)
+                return state, last
+
+            self._multi_step_fn = jax.jit(multi, donate_argnums=(0,))
+        return self._multi_step_fn
 
     # ------------------------------------------------------------------
     def fit(
@@ -252,9 +275,25 @@ class Trainer:
         last_save = time.monotonic()
         it = iter(pipeline)
         start_step = int(state.step)
-        for _ in range(start_step, num_steps):
-            batch = jax.device_put(next(it), sharding)
-            state, metrics = self.step_fn(state, batch)
+        spl = max(1, cfg.steps_per_launch)
+        step = start_step
+        while step < num_steps:
+            if spl > 1:
+                # One fused launch of `spl` optimizer steps; fit may
+                # overshoot num_steps to the next multiple of spl.
+                import numpy as _np
+
+                stacked = _np.stack([next(it) for _ in range(spl)])
+                batches = jax.device_put(
+                    stacked,
+                    jax.sharding.NamedSharding(
+                        self.mesh, jax.sharding.PartitionSpec(None, "data")
+                    ),
+                )
+                state, metrics = self.multi_step_fn(state, batches)
+            else:
+                batch = jax.device_put(next(it), sharding)
+                state, metrics = self.step_fn(state, batch)
             step = int(state.step)
 
             if cfg.log_every and step % cfg.log_every == 0:
