@@ -99,21 +99,35 @@ class TiledApplier:
     class shape of the reference, machine_learning/denoiser.py:584-682)."""
 
     def __init__(self, model, variables, tile: int = 512, overlap: int = 80,
-                 batch: int = 4):
+                 batch: int = 4, preprocess: bool = True):
         self.model = model
         self.variables = variables
         self.tile, self.overlap, self.batch = tile, overlap, batch
+        self.preprocess = preprocess
 
         def apply_fn(crops):
             return model.apply(variables, crops, train=False)
 
         self._apply_fn = apply_fn
 
-    def apply_crop(self, crop):
+    def _pre(self, img):
+        """Whole-image sanitize + rescale to [0,1] (reference
+        Denoiser.preprocess:632-642, applied once per image)."""
+        from emx.utils.image import sanitize, scale0to1
+
+        return scale0to1(sanitize(jnp.asarray(img, jnp.float32)))
+
+    def apply_crop(self, crop, preprocess: bool | None = None):
         """Single-window inference (reference denoise_crop:645-651)."""
-        out = self._apply_fn(jnp.asarray(crop)[None])
+        crop = jnp.asarray(crop)
+        if preprocess if preprocess is not None else self.preprocess:
+            crop = self._pre(crop)
+        out = self._apply_fn(crop[None])
         return out[0]
 
-    def __call__(self, img):
+    def __call__(self, img, preprocess: bool | None = None):
+        img = jnp.asarray(img, jnp.float32)
+        if preprocess if preprocess is not None else self.preprocess:
+            img = self._pre(img)
         return tiled_apply(self._apply_fn, img, self.tile, self.overlap,
                            self.batch)
