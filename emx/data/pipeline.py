@@ -147,6 +147,56 @@ class DataPipeline:
         return jax.make_array_from_process_local_data(sharding, batch)
 
 
+class DeviceDataset:
+    """Device-resident dataset: the whole corpus lives in HBM and batches
+    are gathered on-device — the fast path when the (packed) dataset fits
+    in memory, eliminating per-step host->device uploads (measured: the
+    upload dominates step time on dispatch-limited hosts).
+
+    API-compatible with DataPipeline for Trainer.fit (iterator of batches
+    + state_dict/load_state_dict); epoch order is a device-side
+    permutation derived from (seed, epoch).
+    """
+
+    def __init__(self, data: np.ndarray, config: PipelineConfig):
+        import jax.numpy as jnp
+
+        self.cfg = config
+        self.data = jnp.asarray(data, jnp.float32)
+        self._n = data.shape[0]
+        self.epoch = 0
+        self.index = 0
+        if config.crop_size != data.shape[-1]:
+            raise ValueError("DeviceDataset serves full images; pre-crop "
+                             "to crop_size (use emx.data.harvest.pack_crops)")
+
+    def state_dict(self) -> dict[str, int]:
+        return {"epoch": self.epoch, "index": self.index}
+
+    def load_state_dict(self, state: dict[str, int]) -> None:
+        self.epoch = int(state["epoch"])
+        self.index = int(state["index"])
+
+    def __iter__(self):
+        import jax
+        import jax.numpy as jnp
+
+        b = self.cfg.batch_size
+        while True:
+            key = jax.random.key(jnp.uint32(self.cfg.seed))
+            perm = jax.random.permutation(
+                jax.random.fold_in(key, self.epoch), self._n
+            )
+            while self.index + b <= self._n:
+                idx = jax.lax.dynamic_slice(perm, (self.index,), (b,))
+                # Advance the cursor BEFORE yielding so state_dict() taken
+                # between batches resumes at the right position.
+                self.index += b
+                yield jnp.take(self.data, idx, axis=0)
+            self.epoch += 1
+            self.index = 0
+
+
 def synthetic_micrographs(n: int, size: int = 512, seed: int = 0) -> np.ndarray:
     """Structured synthetic micrographs (Gaussian blobs + lattice fringes +
     smooth background) for tests and benchmarks — stands in for the

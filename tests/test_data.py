@@ -158,3 +158,29 @@ def test_pipeline_random_crop_from_large_images():
     cfg = PipelineConfig(batch_size=2, crop_size=32, seed=0)
     batch = next(iter(DataPipeline(data, cfg)))
     assert batch.shape == (2, 32, 32)
+
+
+def test_device_dataset_batches_and_resume():
+    from emx.data.pipeline import DeviceDataset
+
+    data = synthetic_micrographs(12, 32)
+    cfg = PipelineConfig(batch_size=4, crop_size=32, seed=2)
+    ds = DeviceDataset(data, cfg)
+    it = iter(ds)
+    b1 = [np.asarray(next(it)) for _ in range(4)]  # crosses an epoch
+    assert all(b.shape == (4, 32, 32) for b in b1)
+
+    # Same seed -> same order.
+    ds2 = DeviceDataset(data, cfg)
+    b2 = [np.asarray(next(iter(ds2))) for _ in range(1)]
+    np.testing.assert_array_equal(b1[0], b2[0])
+
+    # Resume from cursor.
+    ds3 = DeviceDataset(data, cfg)
+    it3 = iter(ds3)
+    next(it3); next(it3)
+    saved = ds3.state_dict()
+    ds4 = DeviceDataset(data, cfg)
+    ds4.load_state_dict(saved)
+    np.testing.assert_array_equal(np.asarray(next(iter(ds4))),
+                                  np.asarray(b1[2]))
