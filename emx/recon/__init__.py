@@ -7,7 +7,7 @@ from emx.recon.ewrec import (
     defocus_search,
     ewrec,
 )
-from emx.recon.align import phase_correlation, align_stack
+from emx.recon.align import phase_correlation, align_stack, register_affine, align_stack_affine, affine_warp
 from emx.recon.fit import AberrationFitConfig, fit_exit_wave
 
 __all__ = [
@@ -20,6 +20,9 @@ __all__ = [
     "ewrec",
     "phase_correlation",
     "align_stack",
+    "register_affine",
+    "align_stack_affine",
+    "affine_warp",
     "AberrationFitConfig",
     "fit_exit_wave",
 ]

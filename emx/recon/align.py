@@ -80,6 +80,103 @@ def align_stack(stack: jax.Array) -> tuple[jax.Array, jax.Array]:
     return aligned, shifts
 
 
+def affine_warp(img: jax.Array, matrix: jax.Array, offset: jax.Array,
+                order: int = 1) -> jax.Array:
+    """Sample img at A @ [y, x] + t (output coords -> input coords).
+    matrix: (2, 2), offset: (2,). Bilinear by default."""
+    from jax.scipy.ndimage import map_coordinates
+
+    h, w = img.shape[-2:]
+    yy, xx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    coords = jnp.stack([yy.ravel(), xx.ravel()])  # (2, h*w)
+    src = matrix @ coords + offset[:, None]
+    out = map_coordinates(img, [src[0], src[1]], order=order, mode="nearest")
+    return out.reshape(h, w)
+
+
+def register_affine(
+    fixed: jax.Array,
+    moving: jax.Array,
+    steps: int = 200,
+    learning_rate: float = 1e-2,
+    init_shift: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Gradient-descent affine registration of `moving` onto `fixed`
+    (the imregtform 'affine' capability of reference
+    misc_py/evolutionary_align.m:1-80, minus the MATLAB toolbox):
+    minimises masked MSE over (A, t), seeded by phase correlation.
+    Returns (matrix, offset, warped)."""
+    import optax
+
+    fixed = fixed.astype(jnp.float32)
+    moving = moving.astype(jnp.float32)
+    if init_shift is None:
+        init_shift = phase_correlation(fixed, moving)
+    params = {
+        "matrix": jnp.eye(2, dtype=jnp.float32),
+        "offset": jnp.asarray(init_shift, jnp.float32),
+    }
+
+    # Interior mask downweights wrapped/extrapolated borders.
+    h, w = fixed.shape
+    m = int(0.05 * min(h, w)) + 1
+    mask = jnp.zeros((h, w)).at[m:-m, m:-m].set(1.0)
+
+    def loss_fn(p):
+        warped = affine_warp(moving, p["matrix"], p["offset"])
+        return jnp.sum(mask * (warped - fixed) ** 2) / jnp.sum(mask)
+
+    opt = optax.adam(learning_rate)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(p, s):
+        loss, g = jax.value_and_grad(loss_fn)(p)
+        updates, s = opt.update(g, s)
+        return optax.apply_updates(p, updates), s, loss
+
+    for _ in range(steps):
+        params, opt_state, _ = step(params, opt_state)
+    warped = affine_warp(moving, params["matrix"], params["offset"])
+    return params["matrix"], params["offset"], warped
+
+
+def align_stack_affine(stack: jax.Array, steps: int = 150,
+                       learning_rate: float = 1e-2):
+    """Affine-align every slice to the middle image by composing pairwise
+    registrations outward from the centre (warp_stack.m:21-60 chained
+    transforms). Returns (aligned, transforms) with transforms a list of
+    (matrix, offset) mapping each slice onto the middle frame."""
+    n = stack.shape[0]
+    mid = n // 2
+    eye = (jnp.eye(2), jnp.zeros(2))
+    transforms: list[tuple[jax.Array, jax.Array]] = [eye] * n
+
+    def compose(a1, t1, a2, t2):
+        # warp(x; a1,t1) then warp(.; a2,t2) == warp(x; a1@a2?, ...)
+        # Our warp samples moving at A y + t: composing "align i->i-1"
+        # (A1,t1) with "align i-1->mid" (A2,t2): sample moving at
+        # A1 (A2 y + t2) + t1.
+        return a1 @ a2, a1 @ t2 + t1
+
+    # Outward from the middle.
+    for i in range(mid + 1, n):
+        a, t, _ = register_affine(stack[i - 1], stack[i], steps, learning_rate)
+        pa, pt = transforms[i - 1]
+        transforms[i] = compose(a, t, pa, pt)
+    for i in range(mid - 1, -1, -1):
+        a, t, _ = register_affine(stack[i + 1], stack[i], steps, learning_rate)
+        pa, pt = transforms[i + 1]
+        transforms[i] = compose(a, t, pa, pt)
+
+    aligned = jnp.stack([
+        affine_warp(stack[i], transforms[i][0], transforms[i][1])
+        for i in range(n)
+    ])
+    return aligned, transforms
+
+
 def common_crop_slices(shifts, shape: tuple[int, int]) -> tuple[slice, slice]:
     """Pixel region valid in every shifted slice (warp_stack.m:21-60)."""
     import numpy as np

@@ -154,3 +154,45 @@ def test_fit_exit_wave_reduces_loss():
                               fit_aberrations=("a20",), fit_shifts=False)
     out = fit_exit_wave(stack, defocuses, cfg)
     assert out["losses"][-1] < 0.5 * out["losses"][0]
+
+
+def test_register_affine_recovers_transform():
+    from emx.recon.align import affine_warp, register_affine
+
+    base = jnp.asarray(
+        np.random.default_rng(5).random((64, 64)).astype(np.float32)
+    )
+    base = jax.vmap(lambda r: jnp.convolve(r, jnp.ones(5) / 5, mode="same"))(base)
+    # Apply a known small affine: slight rotation + shift.
+    th = 0.05
+    A_true = jnp.asarray([[np.cos(th), -np.sin(th)],
+                          [np.sin(th), np.cos(th)]], jnp.float32)
+    t_true = jnp.asarray([2.0, -1.5])
+    moving = affine_warp(base, A_true, t_true)
+    # register moving onto... moving was sampled FROM base, so aligning
+    # `base` onto `moving` should recover (A_true, t_true).
+    A, t, warped = register_affine(moving, base, steps=250,
+                                   learning_rate=5e-3)
+    interior = (slice(8, -8), slice(8, -8))
+    err = float(jnp.mean((warped[interior] - moving[interior]) ** 2))
+    base_err = float(jnp.mean((base[interior] - moving[interior]) ** 2))
+    assert err < 0.25 * base_err
+    np.testing.assert_allclose(np.asarray(A), np.asarray(A_true), atol=0.05)
+
+
+def test_align_stack_affine_chains_to_middle():
+    from emx.recon.align import affine_warp, align_stack_affine
+
+    rng = np.random.default_rng(6)
+    base = jnp.asarray(rng.random((48, 48)).astype(np.float32))
+    base = jax.vmap(lambda r: jnp.convolve(r, jnp.ones(5) / 5, mode="same"))(base)
+    shifts = [(-2.0, 1.0), (0.0, 0.0), (2.0, -1.0)]
+    stack = jnp.stack([
+        affine_warp(base, jnp.eye(2), jnp.asarray(s)) for s in shifts
+    ])
+    aligned, transforms = align_stack_affine(stack, steps=150)
+    interior = (slice(6, -6), slice(6, -6))
+    for i in range(3):
+        err = float(jnp.mean(
+            (aligned[i][interior] - aligned[1][interior]) ** 2))
+        assert err < 5e-3
