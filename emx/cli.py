@@ -166,9 +166,10 @@ def run_ewrec(argv: list[str]) -> None:
     aligned, shifts = align_stack(stack)
     res = ewrec(aligned, EWRECConfig(wavelength=c.wavelength,
                                      num_iter=c.num_iter))
-    wave = np.asarray(res["exit_wave"])
-    write_tiff(f"{c.out}/amplitude.tif", np.abs(wave))
-    write_tiff(f"{c.out}/phase.tif", np.angle(wave))
+    # Use the real-valued outputs (complex arrays cannot be fetched on
+    # some TPU backends).
+    write_tiff(f"{c.out}/amplitude.tif", np.asarray(res["amplitude"]))
+    write_tiff(f"{c.out}/phase.tif", np.asarray(res["phase"]))
     print(f"defocuses: {np.asarray(res['defocuses']).round(2).tolist()}")
     print(f"loss: {float(res['loss']):.3e}; wrote {c.out}/amplitude.tif, phase.tif")
 

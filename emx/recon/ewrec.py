@@ -190,31 +190,45 @@ def defocus_search(
     `amplitudes` are sqrt-intensities, matching `ewrec`'s internal state.
     Returns (best_increment, defocuses).
     """
+    import numpy as np
+
     n = amplitudes.shape[0]
     ramp = _defocus_ramp(n, cfg.series_type)
     intensities = amplitudes**2
+    # Grid/bound arithmetic stays in host numpy: some backends (tunneled
+    # TPU) cannot fetch eager-op scalars, and there is no reason to put
+    # this bookkeeping on device.
     if increments is None:
-        increments = jnp.exp(
-            jnp.linspace(jnp.log(min_incr), jnp.log(max_incr), num_candidates)
+        increments = np.exp(
+            np.linspace(np.log(min_incr), np.log(max_incr), num_candidates)
         )
+    else:
+        increments = np.asarray(increments)
 
-    loss_of = jax.jit(
-        jax.vmap(lambda inc: weak_phase_residual(intensities, inc * ramp, cfg))
-    )
+    # Everything device-side enters the jit as an ARGUMENT (closure
+    # arrays would be lowered as embedded constants, which requires a
+    # device->host fetch some backends don't support).
+    @jax.jit
+    def loss_of(ints, rmp, grid):
+        return jax.vmap(
+            lambda inc: weak_phase_residual(ints, inc * rmp, cfg)
+        )(grid)
 
-    bound_lo = float(jnp.log(increments[0]))
-    bound_hi = float(jnp.log(increments[-1]))
+    bound_lo = float(np.log(increments[0]))
+    bound_hi = float(np.log(increments[-1]))
     lo, hi = bound_lo, bound_hi
-    best = increments[0]
+    best = float(increments[0])
     for _ in range(refine_rounds):
-        grid = jnp.exp(jnp.linspace(lo, hi, num_candidates))
-        losses = loss_of(grid)
-        i = int(jnp.argmin(losses))
-        best = grid[i]
+        grid = np.exp(np.linspace(lo, hi, num_candidates))
+        losses = np.asarray(
+            loss_of(intensities, ramp, jnp.asarray(grid, jnp.float32))
+        )
+        best = float(grid[int(np.argmin(losses))])
         span = (hi - lo) / (num_candidates - 1)
-        lo = max(bound_lo, float(jnp.log(best)) - span)
-        hi = min(bound_hi, float(jnp.log(best)) + span)
-    return best, best * ramp
+        lo = max(bound_lo, float(np.log(best)) - span)
+        hi = min(bound_hi, float(np.log(best)) + span)
+    best_arr = jnp.asarray(best, jnp.float32)
+    return best_arr, best_arr * ramp
 
 
 def refine_defocuses(
@@ -261,6 +275,17 @@ def ewrec(
         if not search:
             raise ValueError("defocuses required when search=False")
         _, defocuses = defocus_search(amps, cfg)
-    wave = jax.jit(lambda a, d: reconstruct(a, d, cfg))(amps, defocuses)
-    loss = reconstruction_loss(amps, defocuses, cfg)
-    return {"exit_wave": wave, "defocuses": defocuses, "loss": loss}
+    # Keep every complex op inside jit, and return REAL amplitude/phase
+    # views alongside the complex wave: on some TPU backends complex
+    # arrays cannot cross the host boundary at all (eager complex ops and
+    # complex transfers surface UNIMPLEMENTED), so downstream consumers
+    # (e.g. TIFF export) must use the real outputs.
+    @jax.jit
+    def run(a, d):
+        wave = reconstruct(a, d, cfg)
+        loss = reconstruction_loss(a, d, cfg)
+        return wave, jnp.abs(wave), jnp.angle(wave), loss
+
+    wave, amplitude, phase, loss = run(amps, defocuses)
+    return {"exit_wave": wave, "amplitude": amplitude, "phase": phase,
+            "defocuses": defocuses, "loss": loss}

@@ -196,3 +196,17 @@ def test_align_stack_affine_chains_to_middle():
         err = float(jnp.mean(
             (aligned[i][interior] - aligned[1][interior]) ** 2))
         assert err < 5e-3
+
+
+def test_reconstruct_robust_to_poisson_noise():
+    # Reconstruction from a shot-noise-corrupted focal series still
+    # recovers the wave (the reference's experimental regime).
+    wave = make_wave(seed=8)
+    defocuses = jnp.asarray([-250.0, -125.0, 0.0, 125.0, 250.0])
+    stack = make_focal_series(wave, defocuses)
+    dose = 500.0
+    counts = jax.random.poisson(jax.random.key(0), stack * dose) / dose
+    amps = jnp.sqrt(jnp.maximum(counts, 0.0))
+    rec = reconstruct(amps, defocuses, CFG)
+    corr = jnp.vdot(rec, wave) / (jnp.linalg.norm(rec) * jnp.linalg.norm(wave))
+    assert float(jnp.abs(corr)) > 0.95
