@@ -137,3 +137,38 @@ def test_lr_staircase():
     assert tr.lr_at(100) == pytest.approx(2e-4 * 0.875)
     assert tr.lr_at(170) == pytest.approx(2e-4 * 0.0)
     assert tr.lr_at(1000) == 0.0
+
+
+def test_collapse_rollback_invoked(gan_setup, tmp_path):
+    # When D outputs exactly 0.5 on both real and fake past step 10, fit()
+    # must restore the last checkpoint (reference collapse recovery,
+    # gan-infilling-100.py:1827-1831). Drive the host loop with a stubbed
+    # step_fn and a recording checkpointer.
+    trainer, state, data = gan_setup
+    state = _copy_state(state)
+
+    calls = {"rollback": 0}
+
+    class StubCkpt:
+        def rollback(self, s):
+            calls["rollback"] += 1
+            return s, None
+
+        def save(self, *a, **k):
+            pass
+
+    collapse_metrics = {
+        "gen_loss": jnp.asarray(1.0), "disc_loss": jnp.asarray(1.0),
+        "d_fake": jnp.asarray(0.5), "d_fake_after": jnp.asarray(0.5),
+        "d_real": jnp.asarray(0.5), "mse": jnp.asarray(0.1),
+    }
+
+    def stub_step(s, batch, do_gen, do_disc):
+        return s.replace(step=s.step + 1), collapse_metrics
+
+    trainer._step_fn = stub_step
+    state = state.replace(step=jnp.asarray(11, jnp.int32))
+    pipe = DataPipeline(data, PipelineConfig(batch_size=8, crop_size=SIZE))
+    trainer.cfg.log_every = 0
+    trainer.fit(state, pipe, num_steps=14, checkpointer=StubCkpt())
+    assert calls["rollback"] >= 1
