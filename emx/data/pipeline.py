@@ -97,20 +97,27 @@ class DataPipeline:
     def __iter__(self) -> Iterator[np.ndarray]:
         return self._prefetching_iter()
 
-    def _batches(self) -> Iterator[np.ndarray]:
+    def _batches(self) -> Iterator[tuple[np.ndarray, int, int]]:
+        """Yield (batch, epoch, index) where (epoch, index) is the cursor
+        AFTER the batch — the state to resume from once the batch has been
+        consumed. The prefetch worker never touches self.epoch/index; the
+        consumer commits the cursor as batches are yielded, so a
+        checkpoint taken mid-stream never skips prefetched-but-unconsumed
+        batches on resume."""
         b = self.cfg.batch_size
+        epoch, index = self.epoch, self.index
         while True:
-            order = self._order(self.epoch)
-            while self.index + b <= self._n:
-                idxs = order[self.index : self.index + b]
+            order = self._order(epoch)
+            while index + b <= self._n:
+                idxs = order[index : index + b]
                 batch = np.stack(
-                    [self._load(int(i), self.epoch, self.index + j)
+                    [self._load(int(i), epoch, index + j)
                      for j, i in enumerate(idxs)]
                 )
-                self.index += b
-                yield batch
-            self.epoch += 1
-            self.index = 0
+                index += b
+                yield batch, epoch, index
+            epoch += 1
+            index = 0
 
     def _prefetching_iter(self) -> Iterator[np.ndarray]:
         q: queue.Queue = queue.Queue(maxsize=self.cfg.prefetch)
@@ -118,10 +125,10 @@ class DataPipeline:
 
         def worker():
             try:
-                for batch in self._batches():
+                for item in self._batches():
                     while not stop.is_set():
                         try:
-                            q.put(batch, timeout=0.25)
+                            q.put(item, timeout=0.25)
                             break
                         except queue.Full:
                             continue
@@ -137,7 +144,10 @@ class DataPipeline:
                 item = q.get()
                 if isinstance(item, Exception):
                     raise item
-                yield item
+                batch, epoch, index = item
+                # Commit the resumable cursor only on consumption.
+                self.epoch, self.index = epoch, index
+                yield batch
         finally:
             stop.set()
 

@@ -28,13 +28,14 @@ import numpy as np
 
 
 class _Pending:
-    __slots__ = ("img", "event", "result", "error")
+    __slots__ = ("img", "event", "result", "error", "cancelled")
 
     def __init__(self, img):
         self.img = img
         self.event = threading.Event()
         self.result = None
         self.error = None
+        self.cancelled = False
 
 
 class InferenceServer:
@@ -46,9 +47,11 @@ class InferenceServer:
         max_batch: int = 8,
         input_shape: tuple[int, int] | None = None,
         model_info: dict | None = None,
+        request_timeout_s: float = 120.0,
     ):
         self.apply_fn = apply_fn
         self.max_batch = max_batch
+        self.request_timeout_s = request_timeout_s
         self.input_shape = input_shape
         self.model_info = model_info or {}
         self.metrics = {"requests": 0, "launches": 0, "errors": 0,
@@ -96,7 +99,16 @@ class InferenceServer:
                     return
                 pending = _Pending(np.asarray(img, np.float32))
                 server._q.put(pending)
-                pending.event.wait(timeout=120)
+                if not pending.event.wait(timeout=server.request_timeout_s):
+                    # Dispatcher never got to it — mark cancelled so a
+                    # late dispatch drops it, and fail loudly instead of
+                    # returning a pickled None with HTTP 200.
+                    pending.cancelled = True
+                    server.metrics["errors"] += 1
+                    self.send_response(504)
+                    self.end_headers()
+                    self.wfile.write(b"inference timed out")
+                    return
                 server.metrics["requests"] += 1
                 server.metrics["total_latency_s"] += time.perf_counter() - t0
                 if pending.error is not None:
@@ -132,6 +144,8 @@ class InferenceServer:
             # Group by shape so one launch serves homogeneous requests.
             by_shape: dict[tuple, list[_Pending]] = {}
             for p in batch:
+                if p.cancelled:  # requester already gave up (504)
+                    continue
                 by_shape.setdefault(p.img.shape, []).append(p)
             for shape, group in by_shape.items():
                 try:

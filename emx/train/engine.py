@@ -291,6 +291,7 @@ class Trainer:
                     ),
                 )
                 state, metrics = self.multi_step_fn(state, batches)
+                batch = stacked[-1]  # last host microbatch, for sample dumps
             else:
                 batch = jax.device_put(next(it), sharding)
                 state, metrics = self.step_fn(state, batch)

@@ -56,7 +56,9 @@ struct Parser {
   std::vector<ImageInfo> images;
 
   bool need(size_t n) {
-    if (p + n > len) {
+    // p <= len is an invariant; compare against the remainder so a
+    // file-controlled n cannot overflow p + n.
+    if (n > len - p) {
       ok = false;
       if (error.empty()) {
         char buf[96];
@@ -149,6 +151,9 @@ struct Parser {
   ImageInfo* image_for_path() {
     size_t idx;
     if (!in_image_entry(&idx)) return nullptr;
+    // A real file cannot hold more images than bytes; cap the
+    // label-derived index so a crafted label can't force a huge resize.
+    if (idx > 4096 || idx > len) return nullptr;
     if (images.size() < idx) images.resize(idx);
     return &images[idx - 1];
   }
@@ -250,6 +255,11 @@ struct Parser {
       uint64_t n = llong();
       size_t es = elem_size(int(elem));
       if (!es) { ok = false; error = "unsupported array elem type"; return; }
+      if (n > (len - p) / es) {  // division avoids es*n u64 overflow
+        ok = false;
+        error = "array exceeds file size";
+        return;
+      }
       if (!need(es * n)) return;
       if (elem == 9) {
         record_value(0.0, std::string(reinterpret_cast<const char*>(d + p),
@@ -325,9 +335,10 @@ void* emx_dm_decode(const char* data, size_t len, char** meta_json,
                     size_t* nbytes) {
   *meta_json = nullptr;
   *nbytes = 0;
+  std::string json;
+  try {
   Parser ps{reinterpret_cast<const uint8_t*>(data), len};
   uint32_t version = ps.be32();
-  std::string json;
   if (version != 3 && version != 4) {
     json = "{\"error\": \"not a DM3/DM4 file\"}";
   } else {
@@ -371,8 +382,18 @@ void* emx_dm_decode(const char* data, size_t len, char** meta_json,
       json += "]}";
     }
   }
+  } catch (const std::exception& e) {
+    // No C++ exception may escape the C ABI into the ctypes caller —
+    // report as an error JSON instead (a crafted file could otherwise
+    // raise bad_alloc/length_error and kill the harvest process).
+    json = "{\"error\": \"decoder exception: ";
+    json_escape(&json, e.what());
+    json += "\"}";
+  } catch (...) {
+    json = "{\"error\": \"decoder exception\"}";
+  }
   *meta_json = static_cast<char*>(malloc(json.size() + 1));
-  memcpy(*meta_json, json.c_str(), json.size() + 1);
+  if (*meta_json) memcpy(*meta_json, json.c_str(), json.size() + 1);
   return nullptr;
 }
 

@@ -137,17 +137,19 @@ def test_pipeline_determinism_and_resume():
     for a, b in zip(batches1, batches2):
         np.testing.assert_array_equal(a, b)
 
-    # Resume from saved cursor reproduces the tail. The cursor is only
-    # well-defined on the synchronous generator (prefetch runs ahead),
-    # so drive _batches() directly for the resume check.
+    # Resume from saved cursor reproduces the tail — through the
+    # PREFETCHING iterator: the worker runs ahead but the resumable
+    # cursor is committed only as batches are consumed, so state_dict()
+    # taken mid-stream must not skip prefetched-but-unconsumed batches.
     p3 = DataPipeline(data, cfg)
-    gen3 = p3._batches()
+    it3 = iter(p3)
     for _ in range(3):
-        next(gen3)
+        next(it3)
     saved = p3.state_dict()
     p4 = DataPipeline(data, cfg)
     p4.load_state_dict(saved)
-    tail4 = [next(p4._batches()) for _ in range(2)]
+    it4 = iter(p4)
+    tail4 = [next(it4) for _ in range(2)]
     tail1 = batches1[3:5]
     for a, b in zip(tail1, tail4):
         np.testing.assert_array_equal(a, b)

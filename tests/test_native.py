@@ -78,6 +78,69 @@ def test_native_decoder_rejects_garbage(tmp_path):
         dm_native.read_dm(path)
 
 
+def _dm4_with_one_tag(label: bytes, typed_payload: bytes) -> bytes:
+    """Minimal hand-crafted DM4: header + root group with one data tag."""
+    import struct
+
+    data = struct.pack(">I", 0x25252525) + typed_payload  # magic + typed
+    tag = (b"\x15" + struct.pack(">H", len(label)) + label
+           + struct.pack(">Q", len(data)) + data)
+    group = b"\x01\x01" + struct.pack(">Q", 1) + tag
+    return struct.pack(">I", 4) + struct.pack(">Q", len(group)) \
+        + struct.pack(">I", 1) + group
+
+
+def test_native_decoder_crafted_huge_array_count(tmp_path):
+    """A file-controlled array count near 2^64 must yield an error JSON,
+    not a p+n / es*n overflow that walks off the buffer or an unhandled
+    C++ exception crossing the ctypes boundary (ADVICE round 1)."""
+    import struct
+
+    from emx.io import dm, dm_native
+
+    # typed: deflen, code=20 (array), elem=6 (f32), n=2^64-8, no payload
+    typed = (struct.pack(">Q", 3) + struct.pack(">Q", 20)
+             + struct.pack(">Q", 6) + struct.pack(">Q", 2**64 - 8))
+    path = str(tmp_path / "huge.dm4")
+    with open(path, "wb") as f:
+        f.write(_dm4_with_one_tag(b"Data", typed))
+    with pytest.raises(dm.DMDecodeError):
+        dm_native.read_dm(path)
+
+
+def test_native_decoder_crafted_huge_image_index(tmp_path):
+    """An ImageList entry labelled with a huge numeric index must not
+    force a multi-GB images.resize (std::length_error / bad_alloc)."""
+    import struct
+
+    from emx.io import dm, dm_native
+
+    # Root group containing ImageList -> group with one entry labelled
+    # "99999999999999" -> a tiny string tag (walks record_value paths).
+    typed = (struct.pack(">Q", 2) + struct.pack(">Q", 18)
+             + struct.pack(">I", 2) + b"hi")
+    data = struct.pack(">I", 0x25252525) + typed
+    inner_tag = (b"\x15" + struct.pack(">H", 4) + b"Name"
+                 + struct.pack(">Q", len(data)) + data)
+    inner_group = b"\x01\x01" + struct.pack(">Q", 1) + inner_tag
+    entry_label = b"99999999999999"
+    entry_tag = (b"\x14" + struct.pack(">H", len(entry_label)) + entry_label
+                 + struct.pack(">Q", len(inner_group)) + inner_group)
+    entries = b"\x01\x01" + struct.pack(">Q", 1) + entry_tag
+    il_tag = (b"\x14" + struct.pack(">H", 9) + b"ImageList"
+              + struct.pack(">Q", len(entries)) + entries)
+    root = b"\x01\x01" + struct.pack(">Q", 1) + il_tag
+    buf = (struct.pack(">I", 4) + struct.pack(">Q", len(root))
+           + struct.pack(">I", 1) + root)
+    path = str(tmp_path / "hugeidx.dm4")
+    with open(path, "wb") as f:
+        f.write(buf)
+    # Parses fine (the oversized index is simply ignored) — the point is
+    # it returns promptly without a giant allocation or a crash.
+    out = dm_native.read_dm(path)
+    assert out.version == 4
+
+
 @pytest.fixture(scope="module")
 def daemon():
     # port 0 (ephemeral), 64px frames, seed 1, noiseless camera so the

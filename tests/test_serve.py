@@ -126,3 +126,28 @@ def test_inference_server_batches_concurrent_requests():
             np.testing.assert_allclose(r, img + 1.0)
     finally:
         srv.stop()
+
+
+def test_inference_server_timeout_returns_504():
+    import time as _time
+
+    from emx.serve.server import InferenceServer
+
+    def slow_apply(x):
+        _time.sleep(1.0)
+        return x
+
+    srv = InferenceServer(slow_apply, port=0, max_batch=4,
+                          request_timeout_s=0.15)
+    srv.start()
+    try:
+        img = np.ones((4, 4), np.float32)
+        buf = io.BytesIO()
+        np.save(buf, img)
+        conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=10)
+        conn.request("POST", "/api/predict", buf.getvalue())
+        resp = conn.getresponse()
+        assert resp.status == 504
+        assert b"timed out" in resp.read()
+    finally:
+        srv.stop()
