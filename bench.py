@@ -2,10 +2,17 @@
 on one chip (BASELINE.md: target >= 5000 img/s/chip on v5e).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "img/s", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "img/s", "vs_baseline": N,
+   "extras": {"ewrec_iters_per_s": ..., "host_loader_img_per_s": ...,
+              "device_degrade_img_per_s": ...}}
 
-Runs the flagship denoiser (full reference widths, bfloat16 compute) in
-inference mode over batched 512x512 crops, steady-state, excluding compile.
+The primary metric is the flagship denoiser (full reference widths,
+bfloat16 compute) in inference mode over batched 512x512 crops,
+steady-state, excluding compile. `extras` tracks the EWREC GS-iteration
+rate and the input-pipeline rates every round so BASELINE.md's
+"to be established" rows get driver-recorded numbers (VERDICT r1 item 8).
+Set EMX_BENCH_EXTRAS=0 to skip them, EMX_BENCH_TRACE=<dir> to capture a
+jax.profiler trace of the steady-state denoise launches.
 """
 
 from __future__ import annotations
@@ -72,6 +79,10 @@ def main() -> None:
 
     float(run_chain(variables, xs))  # compile + full roundtrip
 
+    trace_dir = os.environ.get("EMX_BENCH_TRACE", "")
+    if trace_dir:
+        jax.profiler.start_trace(trace_dir)
+
     n_launches = 8
     t0 = time.perf_counter()
     acc = jnp.zeros((), jnp.float32)
@@ -81,12 +92,36 @@ def main() -> None:
     dt = time.perf_counter() - t0
     assert np.isfinite(total)
 
+    if trace_dir:
+        jax.profiler.stop_trace()
+
     img_per_s = batch * chain * n_launches / dt
+
+    extras: dict = {}
+    if os.environ.get("EMX_BENCH_EXTRAS", "1") != "0":
+        try:
+            from emx.bench.ewrec_bench import measure as measure_ewrec
+
+            ew = measure_ewrec()
+            extras["ewrec_iters_per_s"] = ew["value"]
+            extras["ewrec_full_recon_per_s"] = ew["full_reconstructions_per_s"]
+        except Exception as e:  # extras must never sink the primary metric
+            extras["ewrec_error"] = str(e)[:120]
+        try:
+            from emx.bench.pipeline_bench import measure as measure_pipe
+
+            pb = measure_pipe(n_files=128)
+            extras["host_loader_img_per_s"] = pb["host_loader_img_per_s"]
+            extras["device_degrade_img_per_s"] = pb["device_degrade_img_per_s"]
+        except Exception as e:
+            extras["pipeline_error"] = str(e)[:120]
+
     print(json.dumps({
         "metric": "denoiser_512_throughput",
         "value": round(img_per_s, 2),
         "unit": "img/s",
         "vs_baseline": round(img_per_s / BASELINE_IMG_S, 4),
+        "extras": extras,
     }))
 
 

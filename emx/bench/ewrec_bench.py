@@ -19,7 +19,7 @@ import numpy as np
 from emx.recon.ewrec import EWRECConfig, _ctf_stack
 
 
-def main(n_slices: int = 15, side: int = 512, num_iter: int = 50) -> None:
+def measure(n_slices: int = 15, side: int = 512, num_iter: int = 50) -> dict:
     cfg = EWRECConfig(wavelength=0.025, num_iter=num_iter)
     rng = np.random.default_rng(0)
     amps = jnp.asarray(rng.random((n_slices, side, side)), jnp.float32)
@@ -48,12 +48,16 @@ def main(n_slices: int = 15, side: int = 512, num_iter: int = 50) -> None:
         acc += float(run(amps, defocuses))
     dt = time.perf_counter() - t0
     iters_per_s = num_iter * n_calls / dt
-    print(json.dumps({
+    return {
         "metric": "ewrec_iters_per_s",
         "value": round(iters_per_s, 2),
         "unit": f"GS iters/s ({n_slices}x{side}^2)",
         "full_reconstructions_per_s": round(n_calls / dt, 3),
-    }))
+    }
+
+
+def main(n_slices: int = 15, side: int = 512, num_iter: int = 50) -> None:
+    print(json.dumps(measure(n_slices, side, num_iter)))
 
 
 if __name__ == "__main__":

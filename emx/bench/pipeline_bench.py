@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main(n_files: int = 256, crop: int = 512) -> None:
+def measure(n_files: int = 256, crop: int = 512) -> dict:
     from emx.data.degrade import denoiser_example
     from emx.data.pipeline import DataPipeline, PipelineConfig
     from emx.io.tiff import write_tiff
@@ -62,12 +62,16 @@ def main(n_files: int = 256, crop: int = 512) -> None:
     float(acc)
     degrade_rate = 320 / (time.perf_counter() - t0)
 
-    print(json.dumps({
+    return {
         "metric": "input_pipeline",
         "host_loader_img_per_s": round(host_rate, 1),
         "device_degrade_img_per_s": round(degrade_rate, 1),
         "crop": crop,
-    }))
+    }
+
+
+def main(n_files: int = 256, crop: int = 512) -> None:
+    print(json.dumps(measure(n_files, crop)))
 
 
 if __name__ == "__main__":

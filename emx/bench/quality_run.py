@@ -1,0 +1,108 @@
+"""Production-scale quality anchoring (VERDICT r1 item 2).
+
+Trains the FLAGSHIP denoiser (full reference widths) on-chip for N
+thousand steps at a given space_to_depth, then scores val PSNR against
+the six classical filters (the reference's err_hist workload,
+misc_py/err_hist_maker.py:1-175). Run once with s2d=2 (quality profile)
+and once with s2d=4 (benched fast profile): the PSNR delta between them
+measured at production widths is the quality-at-speed evidence the
+round-1 60-step toy study could not give.
+
+Usage: python -m emx.bench.quality_run <out_dir> [s2d] [steps] [batch]
+Writes <out_dir>/metrics.jsonl, a checkpoint, and quality.json; prints
+the quality summary as one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main(out_dir: str, s2d: int = 2, steps: int = 5000,
+         batch: int = 16) -> dict:
+    from emx.analysis.filters import compare_denoisers
+    from emx.data.degrade import denoiser_example, poisson_dose
+    from emx.data.pipeline import DeviceDataset, PipelineConfig, \
+        synthetic_micrographs
+    from emx.nn import Denoiser, DenoiserConfig
+    from emx.train import TrainConfig, Trainer
+    from emx.train.checkpoints import Checkpointer
+    from emx.utils.image import sanitize, scale0to1
+
+    size = 512
+    os.makedirs(out_dir, exist_ok=True)
+    cfg = DenoiserConfig(norm="group", dtype=jnp.bfloat16,
+                         space_to_depth=s2d, remat_middle=True)
+    model = Denoiser(cfg)
+    tcfg = TrainConfig(learning_rate=0.1, optimizer="nesterov",
+                       grad_clip_norm=0.0, log_every=50,
+                       ckpt_every_steps=1000, model_dir=out_dir, seed=0)
+    trainer = Trainer(model, tcfg, example_fn=denoiser_example)
+
+    train_imgs = synthetic_micrographs(256, size, seed=0)
+    val_imgs = synthetic_micrographs(32, size, seed=999)
+    pipe = DeviceDataset(train_imgs,
+                         PipelineConfig(batch_size=batch, crop_size=size))
+    state = trainer.init(jnp.zeros((batch, size, size)))
+    ckpt = Checkpointer(os.path.join(out_dir, "ckpt"))
+    t0 = time.perf_counter()
+    state = trainer.fit(state, pipe, num_steps=steps, checkpointer=ckpt)
+    train_s = time.perf_counter() - t0
+    ckpt.save(int(state.step), state, pipe.state_dict())
+    ckpt.close()
+
+    # Fixed val degradation (deterministic dose ladder across the set).
+    doses = np.linspace(40.0, 300.0, val_imgs.shape[0]).astype(np.float32)
+
+    @jax.jit
+    def make_val(imgs, doses):
+        def one(k, img, dose):
+            img = scale0to1(sanitize(img))
+            lq = poisson_dose(k, img, dose)
+            tgt = img * (jnp.mean(lq) / jnp.maximum(jnp.mean(img), 1e-12))
+            return lq, tgt
+
+        keys = jax.random.split(jax.random.key(7), imgs.shape[0])
+        return jax.vmap(one)(keys, imgs, doses)
+
+    noisy, clean = make_val(jnp.asarray(val_imgs), jnp.asarray(doses))
+
+    variables = {"params": state.params}
+    if jax.tree_util.tree_leaves(state.batch_stats):
+        variables["batch_stats"] = state.batch_stats
+
+    @jax.jit
+    def nn_fn(x):
+        return model.apply(variables, x, train=False)
+
+    results = compare_denoisers(noisy, clean, nn_fn=nn_fn)
+    summary = {
+        "metric": "quality_anchor",
+        "s2d": s2d, "steps": int(state.step), "batch": batch,
+        "train_img_per_s": round(batch * steps / train_s, 2),
+        "nn_psnr": round(results["nn"]["psnr"], 3),
+        "identity_psnr": round(results["identity"]["psnr"], 3),
+        "best_classical": max(
+            ((k, v["psnr"]) for k, v in results.items()
+             if k not in ("nn", "identity")), key=lambda kv: kv[1]),
+        "all": {k: round(v["psnr"], 3) for k, v in results.items()},
+    }
+    with open(os.path.join(out_dir, "quality.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps(summary), flush=True)
+    return summary
+
+
+if __name__ == "__main__":
+    a = sys.argv[1:]
+    main(a[0] if a else "docs/runs/quality_s2d2",
+         int(a[1]) if len(a) > 1 else 2,
+         int(a[2]) if len(a) > 2 else 5000,
+         int(a[3]) if len(a) > 3 else 16)

@@ -49,6 +49,9 @@ class DenoiserConfig:
     upsample: str = "transpose"
     space_to_depth: int = 2
     dtype: Any = jnp.float32
+    # Rematerialise the middle-block activations in backward: trades
+    # FLOPs for HBM so training batches can grow to the memory limit.
+    remat_middle: bool = False
 
     @classmethod
     def tiny(cls) -> "DenoiserConfig":
@@ -62,6 +65,39 @@ class DenoiserConfig:
             aspp_filters=max(8, int(self.aspp_filters * scale)),
             aspp_out=max(8, int(self.aspp_out * scale)),
         )
+
+    def halo_grid(self) -> int:
+        """Alignment unit for spatial (halo) parallelism: shard heights
+        and halos must be multiples of the total downsampling stride so
+        every shard's conv grid coincides with the global grid."""
+        return self.space_to_depth * 16  # 4 stride-2 encoder stages
+
+    def receptive_field_radius(self) -> int:
+        """Theoretical receptive-field radius in INPUT pixels — an upper
+        bound: the effective radius of a trained net is far smaller (the
+        reference used 80 px overlap on 512 px tiles,
+        machine_learning/denoiser.py:653-682), and at full depth this
+        bound exceeds any practical halo/tile overlap, so halo-parallel
+        outputs are validated against tiled inference within tolerance
+        rather than bit-exactly. (The ASPP 'image-level' branch is a 2x2
+        avg pool in the reference — denoiser-multi-gpu.py:331-336 — not a
+        global pool, so the field IS finite.)"""
+        r, s = 0, 1
+        for _ in range(4):          # encoder blocks 0-3
+            r += 2 * s              # two 3x3 sep convs
+            r += s                  # strided 3x3
+            s *= 2
+        r += 3 * s                  # encoder block 4
+        r += 3 * s * self.num_middle_blocks
+        r += max(self.aspp_rates) * s   # largest dilated 3x3 branch
+        r += 2 * s                  # bilinear x4 upsample support
+        s //= 4
+        r += 3 * s                  # decoder stage 1 (+ transpose conv)
+        s //= 2
+        r += 3 * s                  # decoder stage 2
+        s //= 2
+        r += 2 * s + 1              # full-res refinement + 3x3 head
+        return r * self.space_to_depth
 
 
 class Denoiser(nn.Module):
@@ -111,8 +147,14 @@ class Denoiser(nn.Module):
         a = SepConvBlock(f[4], **kw)(a, train)
         h = a + h
 
-        for _ in range(cfg.num_middle_blocks):
-            h = XceptionMiddleBlock(f[4], **kw)(h, train)
+        middle = XceptionMiddleBlock
+        if cfg.remat_middle:
+            # static_argnums: (self, x, train) -> train must stay static.
+            middle = nn.remat(XceptionMiddleBlock, static_argnums=(2,))
+        for i in range(cfg.num_middle_blocks):
+            # Explicit name keeps the param tree identical with and
+            # without remat, so checkpoints stay interchangeable.
+            h = middle(f[4], **kw, name=f"XceptionMiddleBlock_{i}")(h, train)
 
         h = ASPP(cfg.aspp_filters, cfg.aspp_out, cfg.aspp_rates,
                  separable=cfg.aspp_separable, **kw)(h, train)

@@ -56,15 +56,29 @@ def make_pod_mesh(
         1, jax.process_count()
     )
     per_slice = jax.device_count() // n_slices
-    if n_slices == 1:
+    if n_slices == 1 or jax.process_count() == 1:
+        # Single process (or single slice): plain reshape — hybrid mesh
+        # construction needs real process boundaries to place 'dcn' on.
         devices = np.asarray(jax.devices()).reshape(
-            1, per_slice // spatial, spatial
+            n_slices, per_slice // spatial, spatial
         )
     else:
-        devices = mesh_utils.create_hybrid_device_mesh(
-            mesh_shape=(1, per_slice // spatial, spatial),
-            dcn_mesh_shape=(n_slices, 1, 1),
-        )
+        try:
+            devices = mesh_utils.create_hybrid_device_mesh(
+                mesh_shape=(1, per_slice // spatial, spatial),
+                dcn_mesh_shape=(n_slices, 1, 1),
+            )
+        except ValueError:
+            # Devices without slice_index (e.g. multi-process CPU in
+            # tests): group by process so 'dcn' spans process boundaries.
+            devs = sorted(
+                jax.devices(),
+                key=lambda d: (getattr(d, "slice_index", None)
+                               or d.process_index, d.id),
+            )
+            devices = np.asarray(devs).reshape(
+                n_slices, per_slice // spatial, spatial
+            )
     return Mesh(devices, ("dcn", "data", "spatial"))
 
 

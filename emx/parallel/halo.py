@@ -50,14 +50,37 @@ def spatial_apply(
     mesh: Mesh,
     halo: int = 64,
     axis_name: str = "spatial",
+    grid: int = 1,
 ):
     """Apply `apply_fn((h, w) -> (h, w))` to a huge image sharded over
-    `axis_name`. The image height must divide the axis size. `halo` must
-    cover the model's receptive-field radius for exactness."""
+    `axis_name`.
+
+    `halo` should cover the model's effective receptive-field radius
+    (DenoiserConfig.receptive_field_radius() is the hard upper bound;
+    the reference's 80 px tiling overlap is the practical anchor).
+
+    `grid` is the model's alignment unit (DenoiserConfig.halo_grid():
+    space_to_depth x total stride). The halo is rounded UP to a multiple
+    of it so every shard's strided-conv grid coincides with the global
+    grid, and the image height is reflect-padded up to a multiple of
+    n x grid — arbitrary heights work, not just exact divisors.
+    """
     n = mesh.shape[axis_name]
     h = img.shape[0]
-    if h % n:
-        raise ValueError(f"image height {h} must divide spatial axis {n}")
+    if grid > 1:
+        halo = -(-halo // grid) * grid
+    unit = n * max(1, grid)
+    h_pad = -(-h // unit) * unit
+    pad = h_pad - h
+    if pad:
+        if pad > h:
+            raise ValueError(
+                f"image height {h} too small for {n}x{grid} padding unit")
+        img = jnp.concatenate([img, img[h - pad:][::-1]], axis=0)
+    if halo >= h_pad // n:
+        raise ValueError(
+            f"halo {halo} must be smaller than the shard height "
+            f"{h_pad // n} — use fewer spatial shards or a bigger image")
 
     from jax.experimental.shard_map import shard_map
 
@@ -72,9 +95,39 @@ def spatial_apply(
         out = apply_fn(padded)
         return out[halo:-halo]
 
-    return run(img)
+    out = run(img)
+    return out[:h] if pad else out
 
 
 def spatial_sharded_image(img, mesh: Mesh, axis_name: str = "spatial"):
     """Place a big image on the mesh sharded by rows."""
     return jax.device_put(img, NamedSharding(mesh, P(axis_name, None)))
+
+
+def halo_denoise(
+    model,
+    variables,
+    img: jax.Array,
+    mesh: Mesh,
+    halo: int | None = None,
+    axis_name: str = "spatial",
+):
+    """Denoise ONE huge micrograph across the mesh — the multi-chip
+    serving path for images too large for a single device (the TPU-native
+    replacement for host-side tiling, SURVEY.md §5 long-context analog).
+
+    Wires the Denoiser's own geometry in: the halo defaults to the
+    reference's 80 px tiling overlap and both the halo and the shard
+    heights are aligned to model.config.halo_grid() by spatial_apply, so
+    any s2d / any image height works. Validated against TiledApplier in
+    tests/test_parallel_ops.py."""
+    cfg = model.config
+    grid = cfg.halo_grid()
+    if halo is None:
+        halo = max(80, grid)
+
+    def apply_fn(x):
+        return model.apply(variables, x[None], train=False)[0]
+
+    return spatial_apply(apply_fn, img, mesh, halo=halo,
+                         axis_name=axis_name, grid=grid)

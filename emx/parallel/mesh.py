@@ -48,11 +48,19 @@ def make_mesh_for_batch(batch_size: int, spatial: int = 1,
 
 
 def batch_sharding(mesh: Mesh, spatial_dims: int = 0) -> NamedSharding:
-    """Sharding for a batch array: batch dim over 'data'; optionally the
-    leading spatial (H) dim over 'spatial' for halo-parallel images."""
+    """Sharding for a batch array: batch dim over 'data' — and over 'dcn'
+    too on pod meshes (emx.parallel.distributed.make_pod_mesh), so
+    data parallelism spans slices: gradient all-reduces run over ICI
+    within a slice first and only slice-partials cross DCN. Optionally
+    the leading spatial (H) dim goes over 'spatial' for halo-parallel
+    images."""
+    batch_axes = tuple(a for a in ("dcn", "data") if a in mesh.axis_names)
+    if not batch_axes:
+        raise ValueError(f"mesh has no batch axis: {mesh.axis_names}")
+    spec_batch = batch_axes if len(batch_axes) > 1 else batch_axes[0]
     if spatial_dims:
-        return NamedSharding(mesh, P("data", "spatial"))
-    return NamedSharding(mesh, P("data"))
+        return NamedSharding(mesh, P(spec_batch, "spatial"))
+    return NamedSharding(mesh, P(spec_batch))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -59,6 +59,11 @@ class TrainConfig(Config):
     ckpt_every_secs: float = config_field(0.0, "0 disables time-periodic saves")
     model_dir: str = config_field("", "checkpoint/log directory")
     seed: int = config_field(0, "training RNG seed")
+    profile_dir: str = config_field(
+        "", "write a jax.profiler trace here (SURVEY.md §5 tracing); "
+            "empty disables")
+    profile_start_step: int = config_field(10, "first traced step")
+    profile_num_steps: int = config_field(5, "steps inside the trace")
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -120,12 +125,20 @@ class Trainer:
         mesh=None,
         example_fn: Callable | None = None,
         loss_fn: Callable = huberised_mse,
+        probe=None,
     ):
+        """`probe` (emx.train.dose_probe.DoseProbe) switches example_fn to
+        the 3-argument form (key, img, cum_probs); the CDF is a traced
+        step argument, so probe updates never recompile."""
         self.model = model
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else make_mesh()
         self.example_fn = example_fn
         self.loss_fn = loss_fn
+        self.probe = probe
+        if probe is not None and cfg.steps_per_launch > 1:
+            raise ValueError("dose probing is incompatible with "
+                             "steps_per_launch > 1")
         self.optimizer = make_optimizer(cfg)
         self._step_fn = None
         self._multi_step_fn = None
@@ -159,6 +172,7 @@ class Trainer:
         cfg = self.cfg
         model, optimizer = self.model, self.optimizer
         example_fn, loss_fn = self.example_fn, self.loss_fn
+        probed = self.probe is not None
 
         def microbatch_loss(params, batch_stats, inputs, targets):
             variables = {"params": params}
@@ -183,12 +197,17 @@ class Trainer:
 
         grad_fn = jax.value_and_grad(microbatch_loss, has_aux=True)
 
-        def step(state: TrainState, batch):
+        def step(state: TrainState, batch, cum_probs=None):
             rng = jax.random.wrap_key_data(state.rng)
             step_key = jax.random.fold_in(rng, state.step)
             if example_fn is not None:
                 keys = jax.random.split(step_key, batch.shape[0])
-                inputs, targets = jax.vmap(example_fn)(keys, batch)
+                if probed:
+                    inputs, targets = jax.vmap(
+                        example_fn, in_axes=(0, 0, None)
+                    )(keys, batch, cum_probs)
+                else:
+                    inputs, targets = jax.vmap(example_fn)(keys, batch)
             else:
                 inputs, targets = batch
 
@@ -277,7 +296,13 @@ class Trainer:
         start_step = int(state.step)
         spl = max(1, cfg.steps_per_launch)
         step = start_step
+        tracing = False
         while step < num_steps:
+            if cfg.profile_dir and not tracing and \
+                    step >= cfg.profile_start_step:
+                jax.profiler.start_trace(cfg.profile_dir)
+                tracing = True
+                trace_stop = step + cfg.profile_num_steps
             if spl > 1:
                 # One fused launch of `spl` optimizer steps; fit may
                 # overshoot num_steps to the next multiple of spl.
@@ -292,10 +317,20 @@ class Trainer:
                 )
                 state, metrics = self.multi_step_fn(state, batches)
                 batch = stacked[-1]  # last host microbatch, for sample dumps
+            elif self.probe is not None:
+                batch = jax.device_put(next(it), sharding)
+                state, metrics = self.step_fn(
+                    state, batch, self.probe.device_probs()
+                )
             else:
                 batch = jax.device_put(next(it), sharding)
                 state, metrics = self.step_fn(state, batch)
             step = int(state.step)
+
+            if tracing and step >= trace_stop:
+                jax.block_until_ready(metrics["loss"])
+                jax.profiler.stop_trace()
+                tracing = False
 
             if cfg.log_every and step % cfg.log_every == 0:
                 vals = {k: float(v) for k, v in metrics.items()}
@@ -328,6 +363,8 @@ class Trainer:
                 if due_steps or due_time:
                     checkpointer.save(step, state, pipeline.state_dict())
                     last_save = time.monotonic()
+        if tracing:
+            jax.profiler.stop_trace()
         return state
 
     def _dump_samples(self, state: TrainState, batch, step: int) -> None:
@@ -344,9 +381,15 @@ class Trainer:
                     jax.random.wrap_key_data(state.rng), 0x5A5A5A
                 )
                 first = jax.tree_util.tree_map(lambda x: x[:1], batch)
-                inputs, targets = jax.vmap(self.example_fn)(
-                    jax.random.split(key, 1), first
-                )
+                if self.probe is not None:
+                    inputs, targets = jax.vmap(
+                        self.example_fn, in_axes=(0, 0, None)
+                    )(jax.random.split(key, 1), first,
+                      self.probe.device_probs())
+                else:
+                    inputs, targets = jax.vmap(self.example_fn)(
+                        jax.random.split(key, 1), first
+                    )
             else:
                 inputs, targets = (jax.tree_util.tree_map(
                     lambda x: x[:1], b) for b in batch)

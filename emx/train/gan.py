@@ -8,8 +8,10 @@ Reproduces (misc_py/gan-infilling-100.py):
     + 5e-5 L2 (:1081-1089)
   * label flipping with prob 0.01*(1-p_avg)^7, flipped/real labels
     0.9 + 0.1*u, adapt rate 10*exp(-p)*(1-exp(-p^2)) (:1726-1734)
-  * adaptive trainee switching on prediction EMA with 0.3/0.7 bands
-    (:1903-1940) and collapse rollback on D(x)==0.5 (:1827-1831)
+  * adaptive trainee switching on the window-averaged D(fake) with
+    0.3/0.7 bands every trainee_switch_skip_n steps, a forced flip after
+    max_num_since_change one-sided windows (:1903-1940), and collapse
+    rollback on D(x)==0.5 (:1827-1831)
   * Adam beta1=0.5, grad-norm clips 50 (G) / 15 (D) (:1378-1441)
 
 TPU-native: ONE jitted step evaluates G, D-on-fake and D-on-real with
@@ -62,6 +64,13 @@ class GANConfig(Config):
     ema_decay: float = config_field(0.99, "prediction EMA decay")
     switch_low: float = config_field(0.3, "train G below this D(fake) EMA")
     switch_high: float = config_field(0.7, "train D above this D(fake) EMA")
+    trainee_switch_skip_n: int = config_field(
+        1, "decide the trainee every N steps on the window-averaged D(fake) "
+           "(reference gan-infilling-100.py:1903-1906)")
+    max_num_since_change: int = config_field(
+        0, "force a trainee flip after this many consecutive one-sided "
+           "decision windows so neither net starves (reference "
+           "max_num_since_training_change :1922-1925; 0 disables)")
     collapse_eps: float = config_field(1e-6, "|D-0.5| collapse detector")
     log_every: int = config_field(100, "metric cadence")
     ckpt_every_steps: int = config_field(0, "0 disables")
@@ -314,6 +323,10 @@ class GANTrainer:
         meter = ThroughputMeter(batch_size, every=max(1, cfg.log_every))
         train_gen = True
         num_since_change = 0
+        window_pred = 0.0
+        window_n = 0
+        forced_switches = 0
+        rollbacks = 0
         it = iter(pipeline)
         for _ in range(int(state.step), num_steps):
             batch = jax.device_put(next(it), sharding)
@@ -329,25 +342,42 @@ class GANTrainer:
                     and abs(d_fake - 0.5) < cfg.collapse_eps and step > 10:
                 try:
                     state, _ = checkpointer.rollback(state)
+                    rollbacks += 1
+                    self.logger.log(step, rollback=float(rollbacks))
                     continue
                 except FileNotFoundError:
                     pass
 
-            # Trainee switching on the EMA (reference :1922-1940).
-            avg_pred = d_fake
-            if avg_pred < cfg.switch_low:
-                num_since_change = num_since_change + 1 if train_gen else 0
-                train_gen = True
-            elif avg_pred > cfg.switch_high:
-                num_since_change = 0 if train_gen else num_since_change + 1
-                train_gen = False
-            else:
-                num_since_change = 0
-                train_gen = not train_gen
+            # Trainee switching every trainee_switch_skip_n steps on the
+            # window-averaged D(fake) (reference :1903-1940), with a forced
+            # flip after max_num_since_change consecutive one-sided windows
+            # so neither net starves (reference :1922-1925).
+            window_pred += d_fake
+            window_n += 1
+            if window_n >= max(1, cfg.trainee_switch_skip_n):
+                avg_pred = window_pred / window_n
+                window_pred, window_n = 0.0, 0
+                if cfg.max_num_since_change and \
+                        num_since_change >= cfg.max_num_since_change:
+                    num_since_change = 1
+                    train_gen = not train_gen
+                    forced_switches += 1
+                elif avg_pred < cfg.switch_low:
+                    num_since_change = num_since_change + 1 if train_gen else 0
+                    train_gen = True
+                elif avg_pred > cfg.switch_high:
+                    num_since_change = 0 if train_gen else num_since_change + 1
+                    train_gen = False
+                else:
+                    num_since_change = 0
+                    train_gen = not train_gen
 
             if cfg.log_every and step % cfg.log_every == 0:
                 vals = {k: float(v) for k, v in metrics.items()}
                 vals["train_gen"] = float(train_gen)
+                vals["num_since_change"] = float(num_since_change)
+                if forced_switches:
+                    vals["forced_switches"] = float(forced_switches)
                 tp = meter.update(step)
                 if tp:
                     vals.update(tp)

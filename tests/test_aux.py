@@ -51,3 +51,33 @@ def test_distributed_single_process_noop_and_mesh():
     assert mesh.shape["data"] * mesh.shape["spatial"] == jax.device_count()
     start, size = host_batch_slice(32)
     assert (start, size) == (0, 32)
+
+
+def test_trainer_profiler_trace_capture(tmp_path):
+    # SURVEY.md §5 tracing commitment: fit() writes a jax.profiler trace.
+    import jax.numpy as jnp
+
+    from emx.data.degrade import denoiser_example
+    from emx.data.pipeline import DeviceDataset, PipelineConfig, \
+        synthetic_micrographs
+    from emx.nn import Denoiser, DenoiserConfig
+    from emx.train import TrainConfig, Trainer
+
+    model = Denoiser(DenoiserConfig(features=(8, 8, 8, 8, 8),
+                                    num_middle_blocks=0, aspp_filters=8,
+                                    aspp_out=8, norm="group"))
+    cfg = TrainConfig(optimizer="adam", log_every=0,
+                      profile_dir=str(tmp_path / "trace"),
+                      profile_start_step=2, profile_num_steps=2)
+    trainer = Trainer(model, cfg, example_fn=denoiser_example)
+    pipe = DeviceDataset(synthetic_micrographs(16, 32),
+                         PipelineConfig(batch_size=8, crop_size=32))
+    state = trainer.init(jnp.zeros((8, 32, 32)))
+    trainer.fit(state, pipe, num_steps=6)
+    import glob
+
+    traces = glob.glob(str(tmp_path / "trace" / "**" / "*.trace.json*"),
+                       recursive=True) + \
+        glob.glob(str(tmp_path / "trace" / "**" / "*.xplane.pb"),
+                  recursive=True)
+    assert traces, "no profiler trace written"

@@ -172,3 +172,78 @@ def test_collapse_rollback_invoked(gan_setup, tmp_path):
     trainer.cfg.log_every = 0
     trainer.fit(state, pipe, num_steps=14, checkpointer=StubCkpt())
     assert calls["rollback"] >= 1
+
+
+def _sched_stub(trainer, d_fake_seq):
+    """Stub step_fn feeding a scripted d_fake sequence to the host loop."""
+    def stub_step(s, batch, do_gen, do_disc):
+        i = min(int(s.step), len(d_fake_seq) - 1)
+        m = {
+            "gen_loss": jnp.asarray(1.0), "disc_loss": jnp.asarray(1.0),
+            "d_fake": jnp.asarray(d_fake_seq[i]),
+            "d_fake_after": jnp.asarray(d_fake_seq[i]),
+            "d_real": jnp.asarray(0.9), "mse": jnp.asarray(0.1),
+        }
+        return s.replace(step=s.step + 1), m
+
+    trainer._step_fn = stub_step
+    return trainer
+
+
+def _trainees_from_log(tmp_path):
+    from emx.utils.metrics import read_jsonl
+
+    recs = read_jsonl(str(tmp_path / "metrics.jsonl"))
+    return [r["train_gen"] for r in sorted(recs, key=lambda r: r["step"])]
+
+
+def test_forced_trainee_switch_fires(gan_setup, tmp_path):
+    # d_fake pinned below switch_low would keep the generator training
+    # forever; max_num_since_change must force a discriminator round
+    # (reference gan-infilling-100.py:1922-1925).
+    trainer, state, data = gan_setup
+    state = _copy_state(state)
+    trainer = _sched_stub(trainer, [0.1] * 10)
+    trainer.cfg.log_every = 1
+    trainer.cfg.max_num_since_change = 3
+    trainer.logger = type(trainer.logger)(str(tmp_path))
+    pipe = DataPipeline(data, PipelineConfig(batch_size=8, crop_size=SIZE))
+    trainer.fit(state, pipe, num_steps=8)
+    trainees = _trainees_from_log(tmp_path)
+    trainer.cfg.max_num_since_change = 0  # restore shared fixture cfg
+    trainer._step_fn = None
+    assert 0.0 in trainees, trainees  # the forced flip to the discriminator
+    assert trainees[:3] == [1.0, 1.0, 1.0]  # band decision until forced
+
+
+def test_no_forced_switch_when_disabled(gan_setup, tmp_path):
+    trainer, state, data = gan_setup
+    state = _copy_state(state)
+    trainer = _sched_stub(trainer, [0.1] * 10)
+    trainer.cfg.log_every = 1
+    trainer.cfg.max_num_since_change = 0
+    trainer.logger = type(trainer.logger)(str(tmp_path))
+    pipe = DataPipeline(data, PipelineConfig(batch_size=8, crop_size=SIZE))
+    trainer.fit(state, pipe, num_steps=8)
+    trainees = _trainees_from_log(tmp_path)
+    trainer._step_fn = None
+    assert set(trainees) == {1.0}  # generator starves the discriminator
+
+
+def test_windowed_trainee_decision(gan_setup, tmp_path):
+    # With trainee_switch_skip_n=4 the decision uses the 4-step window
+    # average (reference :1903-1906): no flip before the window closes.
+    trainer, state, data = gan_setup
+    state = _copy_state(state)
+    trainer = _sched_stub(trainer, [0.9] * 8)
+    trainer.cfg.log_every = 1
+    trainer.cfg.trainee_switch_skip_n = 4
+    trainer.logger = type(trainer.logger)(str(tmp_path))
+    pipe = DataPipeline(data, PipelineConfig(batch_size=8, crop_size=SIZE))
+    trainer.fit(state, pipe, num_steps=6)
+    trainees = _trainees_from_log(tmp_path)
+    trainer.cfg.trainee_switch_skip_n = 1
+    trainer._step_fn = None
+    # Steps 1-3: window still open, initial trainee (gen) unchanged.
+    # Step 4: window avg 0.9 > 0.7 -> discriminator.
+    assert trainees[:4] == [1.0, 1.0, 1.0, 0.0], trainees
