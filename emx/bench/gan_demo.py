@@ -18,10 +18,17 @@ Writes <out_dir>/metrics.jsonl + prints a JSON summary line.
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
 import sys
+
+import os as _os
+
+_os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__)))), ".jax_cache"),
+)
 
 import jax
 import jax.numpy as jnp

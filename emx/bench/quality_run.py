@@ -20,6 +20,14 @@ import os
 import sys
 import time
 
+import os as _os
+
+_os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__)))), ".jax_cache"),
+)
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -41,7 +49,9 @@ def main(out_dir: str, s2d: int = 2, steps: int = 5000,
     cfg = DenoiserConfig(norm="group", dtype=jnp.bfloat16,
                          space_to_depth=s2d, remat_middle=True)
     model = Denoiser(cfg)
-    tcfg = TrainConfig(learning_rate=0.1, optimizer="nesterov",
+    # Reference hyperparameters: nesterov momentum 0.9, initial lr 1e-3
+    # (denoiser-multi-gpu.py:118,1064-1066).
+    tcfg = TrainConfig(learning_rate=1e-3, optimizer="nesterov",
                        grad_clip_norm=0.0, log_every=50,
                        ckpt_every_steps=1000, model_dir=out_dir, seed=0)
     trainer = Trainer(model, tcfg, example_fn=denoiser_example)

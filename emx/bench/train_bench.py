@@ -17,6 +17,14 @@ import json
 import sys
 import time
 
+import os as _os
+
+_os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__)))), ".jax_cache"),
+)
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -24,7 +32,8 @@ import numpy as np
 
 def measure(s2d: int = 2, batch: int = 16, dtype: str = "bf16",
             remat: bool = False, norm: str = "group", steps: int = 16,
-            size: int = 512, accum: int = 1) -> dict:
+            size: int = 512, accum: int = 1,
+            config_overrides: dict | None = None) -> dict:
     from emx.data.degrade import denoiser_example
     from emx.nn import Denoiser, DenoiserConfig
     from emx.train import TrainConfig, Trainer
@@ -34,6 +43,7 @@ def measure(s2d: int = 2, batch: int = 16, dtype: str = "bf16",
         dtype=jnp.bfloat16 if dtype == "bf16" else jnp.float32,
         space_to_depth=s2d,
         remat_middle=remat,
+        **(config_overrides or {}),
     )
     model = Denoiser(cfg)
     trainer = Trainer(

@@ -1,5 +1,6 @@
 from emx.train.losses import huberised_mse, ssim, ms_ssim
 from emx.train.engine import TrainConfig, Trainer, TrainState
+from emx.train.dose_probe import DoseProbe
 
 __all__ = [
     "huberised_mse",
@@ -8,4 +9,5 @@ __all__ = [
     "TrainConfig",
     "Trainer",
     "TrainState",
+    "DoseProbe",
 ]

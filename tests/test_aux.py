@@ -81,3 +81,16 @@ def test_trainer_profiler_trace_capture(tmp_path):
         glob.glob(str(tmp_path / "trace" / "**" / "*.xplane.pb"),
                   recursive=True)
     assert traces, "no profiler trace written"
+
+
+def test_train_bench_measure_tiny_cpu():
+    # The ladder harness itself must run anywhere (tiny shapes on CPU).
+    from emx.bench.train_bench import measure
+
+    out = measure(s2d=2, batch=4, dtype="bf16", remat=True, steps=2,
+                  size=64,
+                  config_overrides=dict(features=(8, 8, 8, 8, 8),
+                                        num_middle_blocks=1, aspp_filters=8,
+                                        aspp_out=8))
+    assert out["metric"] == "train_step_img_per_s"
+    assert out["value"] > 0 and np.isfinite(out["loss"])
