@@ -81,6 +81,19 @@ def main(out_dir: str = "docs/runs/gan_r2", steps: int = 1200) -> dict:
         disc_params=jax.tree_util.tree_map(jnp.zeros_like,
                                            state.disc_params))
     state = trainer.fit(state, pipe, num_steps=steps, checkpointer=ckpt)
+
+    # Starvation segment: freeze the generator (lr -> 0) and raise the
+    # bands so the window decision is persistently one-sided (d_fake sits
+    # below switch_low every window). num_since_change must climb and the
+    # forced switch (max_num_since_change) must fire — the starvation
+    # scenario the mechanism exists for (reference :1922-1925).
+    from emx.train.engine import set_learning_rate
+
+    state = state.replace(gen_opt=set_learning_rate(state.gen_opt, 0.0))
+    trainer.cfg.switch_low = 0.85
+    trainer.cfg.switch_high = 0.95
+    state = trainer.fit(state, pipe, num_steps=steps + 150,
+                        checkpointer=ckpt)
     ckpt.close()
 
     from emx.utils.metrics import read_jsonl
