@@ -6,6 +6,7 @@ from emx.analysis.filters import (
     wavelet_denoise,
     chambolle_tv,
     compare_denoisers,
+    save_err_hists,
 )
 from emx.analysis.stats import shannon_entropy, gram_matrix, gram_histogram
 from emx.analysis.pearson import pearson_from_moments, classify_family, moment_redistributor
@@ -19,6 +20,7 @@ __all__ = [
     "wavelet_denoise",
     "chambolle_tv",
     "compare_denoisers",
+    "save_err_hists",
     "shannon_entropy",
     "gram_matrix",
     "gram_histogram",

@@ -148,18 +148,28 @@ def compare_denoisers(
     clean: jax.Array,
     nn_fn=None,
     filters: dict | None = None,
-) -> dict[str, dict[str, float]]:
+    per_image: bool = False,
+) -> dict[str, dict]:
     """Per-method MSE/PSNR over a batch — the err_hist_maker workload.
-    `noisy`, `clean`: (B, H, W)."""
+    `noisy`, `clean`: (B, H, W). With `per_image=True` each entry also
+    carries `mses`/`psnrs` arrays (the reference's saved loss arrays,
+    err_hist_maker.py:1-40 loads exactly these)."""
     from emx.utils.image import psnr
 
     filters = dict(filters or DEFAULT_FILTERS)
-    results: dict[str, dict[str, float]] = {}
+    results: dict[str, dict] = {}
 
     def evaluate(outs):
-        mse = float(jnp.mean((outs - clean) ** 2))
-        return {"mse": mse,
-                "psnr": float(jnp.mean(jax.vmap(psnr)(outs, clean)))}
+        per_mse = jnp.mean((outs - clean) ** 2, axis=(-2, -1))
+        per_psnr = jax.vmap(psnr)(outs, clean)
+        out = {"mse": float(jnp.mean(per_mse)),
+               "psnr": float(jnp.mean(per_psnr))}
+        if per_image:
+            import numpy as np
+
+            out["mses"] = np.asarray(per_mse)
+            out["psnrs"] = np.asarray(per_psnr)
+        return out
 
     for name, fn in filters.items():
         outs = jax.jit(jax.vmap(fn))(noisy)
@@ -168,3 +178,27 @@ def compare_denoisers(
         results["nn"] = evaluate(nn_fn(noisy))
     results["identity"] = evaluate(noisy)
     return results
+
+
+def save_err_hists(results: dict, out_dir: str, bins: int = 50) -> dict:
+    """Persist per-method loss arrays + histogram tables (the reference
+    saves `*-losses.npy` per method and plots histograms from them,
+    misc_py/err_hist_maker.py). Requires compare_denoisers(...,
+    per_image=True) output. Returns {method: hist_counts}."""
+    import os
+
+    import numpy as np
+
+    os.makedirs(out_dir, exist_ok=True)
+    hists = {}
+    all_mses = np.concatenate(
+        [v["mses"] for v in results.values() if "mses" in v])
+    edges = np.histogram_bin_edges(all_mses, bins=bins)
+    for name, v in results.items():
+        if "mses" not in v:
+            continue
+        np.save(os.path.join(out_dir, f"{name}-losses.npy"), v["mses"])
+        counts, _ = np.histogram(v["mses"], bins=edges)
+        hists[name] = counts
+    np.savez(os.path.join(out_dir, "err_hist.npz"), edges=edges, **hists)
+    return hists

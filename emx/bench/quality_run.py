@@ -112,7 +112,12 @@ def main(out_dir: str, s2d: int = 2, steps: int = 5000,
     def nn_fn(x):
         return model.apply(variables, x, train=False)
 
-    results = compare_denoisers(noisy, clean, nn_fn=nn_fn)
+    results = compare_denoisers(noisy, clean, nn_fn=nn_fn, per_image=True)
+    from emx.analysis.filters import save_err_hists
+
+    save_err_hists(results, os.path.join(out_dir, "err_hist"))
+    results = {k: {m: v for m, v in r.items() if m in ("mse", "psnr")}
+               for k, r in results.items()}
     summary = {
         "metric": "quality_anchor",
         "s2d": s2d, "steps": int(state.step), "batch": batch,

@@ -194,12 +194,41 @@ def serve(argv: list[str]) -> None:
         time.sleep(3600)
 
 
+def bench_train(argv):
+    """Training-step throughput ladder (emx.bench.train_bench)."""
+    from emx.bench.train_bench import LADDER, QUICK, main as run
+
+    run(QUICK if "quick" in argv else LADDER)
+
+
+def quality(argv):
+    """Production-width quality anchoring run (emx.bench.quality_run)."""
+    from emx.bench.quality_run import main as run
+
+    a = [x for x in argv if not x.startswith("-")]
+    run(a[0] if a else "runs/quality",
+        int(a[1]) if len(a) > 1 else 2,
+        int(a[2]) if len(a) > 2 else 5000,
+        int(a[3]) if len(a) > 3 else 8)
+
+
+def gan_demo(argv):
+    """On-chip GAN dynamics demonstration (emx.bench.gan_demo)."""
+    from emx.bench.gan_demo import main as run
+
+    a = [x for x in argv if not x.startswith("-")]
+    run(a[0] if a else "runs/gan_demo", int(a[1]) if len(a) > 1 else 560)
+
+
 COMMANDS = {
     "train-denoiser": train_denoiser,
     "train-infilling": train_infilling,
     "harvest": harvest,
     "ewrec": run_ewrec,
     "serve": serve,
+    "bench-train": bench_train,
+    "quality": quality,
+    "gan-demo": gan_demo,
 }
 
 

@@ -164,3 +164,22 @@ def test_extract_stacks(tmp_path):
     import glob
 
     assert len(glob.glob(dirs[0] + "/img*.tif")) == 3
+
+
+def test_compare_denoisers_per_image_and_err_hists(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from emx.analysis.filters import compare_denoisers, save_err_hists
+
+    rng = np.random.default_rng(0)
+    clean = jnp.asarray(rng.random((4, 32, 32)), jnp.float32)
+    noisy = clean + 0.1 * jnp.asarray(rng.normal(size=(4, 32, 32)),
+                                      jnp.float32)
+    res = compare_denoisers(noisy, clean, per_image=True)
+    assert res["gaussian"]["mses"].shape == (4,)
+    assert res["identity"]["psnrs"].shape == (4,)
+    hists = save_err_hists(res, str(tmp_path))
+    assert (tmp_path / "gaussian-losses.npy").exists()
+    assert (tmp_path / "err_hist.npz").exists()
+    assert all(h.sum() == 4 for h in hists.values())
