@@ -62,6 +62,9 @@ def measure(n_files: int = 256, crop: int = 512) -> dict:
     float(acc)
     degrade_rate = 320 / (time.perf_counter() - t0)
 
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
     return {
         "metric": "input_pipeline",
         "host_loader_img_per_s": round(host_rate, 1),

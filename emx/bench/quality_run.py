@@ -34,7 +34,7 @@ import numpy as np
 
 
 def main(out_dir: str, s2d: int = 2, steps: int = 5000,
-         batch: int = 16) -> dict:
+         batch: int = 16, full_res_head: int = 0) -> dict:
     from emx.analysis.filters import compare_denoisers
     from emx.data.degrade import denoiser_example, poisson_dose
     from emx.data.pipeline import DeviceDataset, PipelineConfig, \
@@ -47,7 +47,8 @@ def main(out_dir: str, s2d: int = 2, steps: int = 5000,
     size = 512
     os.makedirs(out_dir, exist_ok=True)
     cfg = DenoiserConfig(norm="group", dtype=jnp.bfloat16,
-                         space_to_depth=s2d, remat_middle=True)
+                         space_to_depth=s2d, remat_middle=True,
+                         full_res_head=full_res_head)
     model = Denoiser(cfg)
     # Reference hyperparameters: nesterov momentum 0.9, initial lr 1e-3
     # (denoiser-multi-gpu.py:118,1064-1066).
@@ -121,6 +122,7 @@ def main(out_dir: str, s2d: int = 2, steps: int = 5000,
     summary = {
         "metric": "quality_anchor",
         "s2d": s2d, "steps": int(state.step), "batch": batch,
+        "full_res_head": full_res_head,
         "train_img_per_s": round(batch * (int(state.step) - start) / train_s,
                                  2),
         "nn_psnr": round(results["nn"]["psnr"], 3),
@@ -141,4 +143,5 @@ if __name__ == "__main__":
     main(a[0] if a else "docs/runs/quality_s2d2",
          int(a[1]) if len(a) > 1 else 2,
          int(a[2]) if len(a) > 2 else 5000,
-         int(a[3]) if len(a) > 3 else 16)
+         int(a[3]) if len(a) > 3 else 16,
+         int(a[4]) if len(a) > 4 else 0)

@@ -52,6 +52,13 @@ class DenoiserConfig:
     # Rematerialise the middle-block activations in backward: trades
     # FLOPs for HBM so training batches can grow to the memory limit.
     remat_middle: bool = False
+    # Light full-resolution refinement after depth_to_space. Measured at
+    # production widths (docs/runs/quality_*): plain s2d=4 converges to
+    # 22.6 dB val PSNR — BELOW the noisy input (4x4 blocking; the head
+    # predicts 16 pixels per site from quarter-res features) — while
+    # s2d=2 reaches 36.4 dB. A few thin convs at full res restore the
+    # fine detail the folded head cannot express.
+    full_res_head: int = 0  # feature width; 0 disables
 
     @classmethod
     def tiny(cls) -> "DenoiserConfig":
@@ -183,12 +190,19 @@ class Denoiser(nn.Module):
         d = SepConvBlock(f[0], **kw)(h, train)
         d = SepConvBlock(f[0], **kw)(d, train)
         d = d + ConvBlock(f[0], kernel=1, **kw)(h, train)
-        out = ConvBlock(s2d * s2d, kernel=3, **kw)(d, train)
+        frh = cfg.full_res_head
+        head_ch = frh if frh else 1
+        out = ConvBlock(s2d * s2d * head_ch, kernel=3, **kw)(d, train)
 
         if s2d > 1:
             b, hh, ww, c = out.shape
-            out = out.reshape(b, hh, ww, s2d, s2d, 1)
-            out = jnp.moveaxis(out, 3, 2).reshape(b, hh * s2d, ww * s2d, 1)
+            out = out.reshape(b, hh, ww, s2d, s2d, head_ch)
+            out = jnp.moveaxis(out, 3, 2).reshape(
+                b, hh * s2d, ww * s2d, head_ch)
+
+        if frh:
+            r = SepConvBlock(frh, **kw)(out, train)
+            out = ConvBlock(1, kernel=3, **kw)(out + r, train)
 
         out = jnp.clip(out.astype(jnp.float32), 0.0, 1.0)
         return out[..., 0] if squeeze else out
