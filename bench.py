@@ -46,7 +46,9 @@ def main() -> None:
     profile = os.environ.get("EMX_BENCH_PROFILE", "fast")
     s2d = 4 if profile == "fast" else 2
     batch = int(os.environ.get("EMX_BENCH_BATCH", "64"))
-    cfg = DenoiserConfig(norm="none", dtype=jnp.bfloat16, space_to_depth=s2d)
+    frh = int(os.environ.get("EMX_BENCH_FRH", "0"))
+    cfg = DenoiserConfig(norm="none", dtype=jnp.bfloat16, space_to_depth=s2d,
+                         full_res_head=frh)
     model = Denoiser(cfg)
     x0 = jnp.zeros((batch, 512, 512), jnp.float32)
     variables = model.init(jax.random.key(0), x0, train=False)
