@@ -73,11 +73,15 @@ def main() -> None:
         acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), xs)
         return acc
 
-    rng = np.random.default_rng(0)
-    # bf16 resident inputs: halves HBM footprint of the chained batch
-    # stack; the model computes in bf16 anyway.
-    xs = jnp.asarray(rng.random((chain, batch, 512, 512), np.float32),
-                     jnp.bfloat16)
+    # bf16 resident inputs generated ON-DEVICE: a host-built (chain,
+    # batch, 512, 512) stack is up to GBs and its upload through the
+    # tunnel dominates wall-clock (input values are irrelevant to
+    # throughput). jax.random keeps startup seconds-fast at any chain.
+    xs = jax.jit(
+        lambda k: jax.random.uniform(
+            k, (chain, batch, 512, 512), jnp.bfloat16)
+    )(jax.random.key(0))
+    jax.block_until_ready(xs)
 
     float(run_chain(variables, xs))  # compile + full roundtrip
 

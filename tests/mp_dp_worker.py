@@ -44,6 +44,21 @@ def main() -> None:
     assert jax.process_count() == n_proc
 
     mesh = make_pod_mesh(dcn_data=n_proc)
+
+    # Establish the Gloo clique with a TINY collective first: the big
+    # train-step compile takes minutes on a loaded 1-core host, and if
+    # the two processes reach their first collective more than 30 s
+    # apart the Gloo KV rendezvous times out. A seconds-long jit keeps
+    # the skew tiny; later collectives reuse the clique.
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    tiny_sh = NamedSharding(mesh, P(("dcn", "data")))
+    tiny = jax.make_array_from_process_local_data(
+        tiny_sh, np.ones((4,), np.float32), global_shape=(8,))
+    total = float(jax.jit(jnp.sum, out_shardings=NamedSharding(mesh, P()))(
+        tiny))
+    assert total == 8.0, total
+
     model = Denoiser(
         DenoiserConfig(features=(8, 12, 16, 24, 24), num_middle_blocks=1,
                        aspp_filters=16, aspp_out=16, norm="group")
