@@ -36,16 +36,19 @@ BASELINE_IMG_S = 5000.0
 def main() -> None:
     from emx.nn import Denoiser, DenoiserConfig
 
-    # Profiles (measurement ladder in docs/architecture.md):
-    #   fast    — space_to_depth=4, batch 64
-    #   quality — space_to_depth=2 (flagship default, best PSNR in the
-    #             synthetic study)
+    # Profiles (measurement ladder + quality ladder in
+    # docs/architecture.md):
+    #   fast    — space_to_depth=4, batch 96, 64-deep chains (throughput
+    #             profile; the PRODUCTION-WIDTH quality ladder puts its
+    #             PSNR far below s2d=2 — see quality_run artifacts)
+    #   quality — space_to_depth=2 (flagship deployment default: 36.4 dB,
+    #             beats all six classical filters at 20k steps)
     # Both run the deployment graph: a BatchNorm-trained model folded
     # into its norm-free twin (emx.serve.optimize.fold_batchnorm — exact
     # at inference; norm ops otherwise cost ~43% of runtime on v5e).
     profile = os.environ.get("EMX_BENCH_PROFILE", "fast")
     s2d = 4 if profile == "fast" else 2
-    batch = int(os.environ.get("EMX_BENCH_BATCH", "64"))
+    batch = int(os.environ.get("EMX_BENCH_BATCH", "96"))
     frh = int(os.environ.get("EMX_BENCH_FRH", "0"))
     cfg = DenoiserConfig(norm="none", dtype=jnp.bfloat16, space_to_depth=s2d,
                          full_res_head=frh)
@@ -63,7 +66,7 @@ def main() -> None:
     # so per-launch host/tunnel latency is amortised, and force a host
     # readback of the accumulator — on tunneled backends
     # block_until_ready can return before remote execution completes.
-    chain = int(os.environ.get("EMX_BENCH_CHAIN", "16"))
+    chain = int(os.environ.get("EMX_BENCH_CHAIN", "64"))
 
     @jax.jit
     def run_chain(v, xs):
