@@ -34,7 +34,8 @@ import numpy as np
 
 
 def main(out_dir: str, s2d: int = 2, steps: int = 5000,
-         batch: int = 16, full_res_head: int = 0) -> dict:
+         batch: int = 16, full_res_head: int = 0,
+         norm: str = "group") -> dict:
     from emx.analysis.filters import compare_denoisers
     from emx.data.degrade import denoiser_example, poisson_dose
     from emx.data.pipeline import DeviceDataset, PipelineConfig, \
@@ -46,7 +47,7 @@ def main(out_dir: str, s2d: int = 2, steps: int = 5000,
 
     size = 512
     os.makedirs(out_dir, exist_ok=True)
-    cfg = DenoiserConfig(norm="group", dtype=jnp.bfloat16,
+    cfg = DenoiserConfig(norm=norm, dtype=jnp.bfloat16,
                          space_to_depth=s2d, remat_middle=True,
                          full_res_head=full_res_head)
     model = Denoiser(cfg)
@@ -122,7 +123,7 @@ def main(out_dir: str, s2d: int = 2, steps: int = 5000,
     summary = {
         "metric": "quality_anchor",
         "s2d": s2d, "steps": int(state.step), "batch": batch,
-        "full_res_head": full_res_head,
+        "full_res_head": full_res_head, "norm": norm,
         "train_img_per_s": round(batch * (int(state.step) - start) / train_s,
                                  2),
         "nn_psnr": round(results["nn"]["psnr"], 3),
@@ -144,4 +145,5 @@ if __name__ == "__main__":
          int(a[1]) if len(a) > 1 else 2,
          int(a[2]) if len(a) > 2 else 5000,
          int(a[3]) if len(a) > 3 else 16,
-         int(a[4]) if len(a) > 4 else 0)
+         int(a[4]) if len(a) > 4 else 0,
+         a[5] if len(a) > 5 else "group")

@@ -41,10 +41,12 @@ class DenoiserConfig:
     axis_name: str | None = None
     # Measured on v5e (512^2, bf16): ConvTranspose beats resize+sepconv
     # (213 vs 175 img/s @ b16) — the model is HBM-bound at high res, and
-    # space_to_depth is the dominant lever: s2d=1 213 img/s, s2d=2
-    # 1153 img/s @ b64, s2d=4 4320 img/s @ b64. Quality (60-step synthetic
-    # study, val PSNR): s2d=2 21.7 dB > s2d=4 20.0 ~ s2d=1 19.3 — folding
-    # space into channels helps BOTH axes, so 2 is the default.
+    # space_to_depth is the dominant inference lever: s2d=1 ~213 img/s,
+    # s2d=2 1569 img/s, s2d=4 6572 img/s (b96, 64-deep chains). Quality
+    # at PRODUCTION widths (20k steps on-chip, docs/runs/quality_*):
+    # s2d=2 36.4 dB (beats all classical filters) >> s2d=4+frh 30.1 >>
+    # plain s2d=4 22.6 (below the noisy input) — so 2 is the deployment
+    # default and 4 is a throughput/screening profile only.
     aspp_separable: bool = True
     upsample: str = "transpose"
     space_to_depth: int = 2
