@@ -115,6 +115,25 @@ def main(out_dir: str, s2d: int = 2, steps: int = 5000,
         return model.apply(variables, x, train=False)
 
     results = compare_denoisers(noisy, clean, nn_fn=nn_fn, per_image=True)
+
+    folded_psnr = None
+    if norm == "batch":
+        # Deployment provenance: fold BatchNorm into the convs and score
+        # the folded (norm-free — the exact graph bench.py measures)
+        # model. Fold is exact at inference, so folded PSNR must match.
+        from emx.serve.optimize import fold_denoiser
+        from emx.utils.image import psnr as _psnr
+
+        folded_cfg, folded_vars = fold_denoiser(cfg, variables)
+        folded_model = Denoiser(folded_cfg)
+
+        @jax.jit
+        def nn_folded(x):
+            return folded_model.apply(folded_vars, x, train=False)
+
+        folded_psnr = float(jnp.mean(jax.vmap(_psnr)(nn_folded(noisy),
+                                                     clean)))
+
     from emx.analysis.filters import save_err_hists
 
     save_err_hists(results, os.path.join(out_dir, "err_hist"))
@@ -133,6 +152,8 @@ def main(out_dir: str, s2d: int = 2, steps: int = 5000,
              if k not in ("nn", "identity")), key=lambda kv: kv[1]),
         "all": {k: round(v["psnr"], 3) for k, v in results.items()},
     }
+    if folded_psnr is not None:
+        summary["nn_folded_psnr"] = round(folded_psnr, 3)
     with open(os.path.join(out_dir, "quality.json"), "w") as f:
         json.dump(summary, f, indent=1)
     print(json.dumps(summary), flush=True)
