@@ -35,7 +35,7 @@ import numpy as np
 
 def main(out_dir: str, s2d: int = 2, steps: int = 5000,
          batch: int = 16, full_res_head: int = 0,
-         norm: str = "group") -> dict:
+         norm: str = "group", mid_res_head: int = 0) -> dict:
     from emx.analysis.filters import compare_denoisers
     from emx.data.degrade import denoiser_example, poisson_dose
     from emx.data.pipeline import DeviceDataset, PipelineConfig, \
@@ -49,7 +49,8 @@ def main(out_dir: str, s2d: int = 2, steps: int = 5000,
     os.makedirs(out_dir, exist_ok=True)
     cfg = DenoiserConfig(norm=norm, dtype=jnp.bfloat16,
                          space_to_depth=s2d, remat_middle=True,
-                         full_res_head=full_res_head)
+                         full_res_head=full_res_head,
+                         mid_res_head=mid_res_head)
     model = Denoiser(cfg)
     # Reference hyperparameters: nesterov momentum 0.9, initial lr 1e-3
     # (denoiser-multi-gpu.py:118,1064-1066).
@@ -133,6 +134,12 @@ def main(out_dir: str, s2d: int = 2, steps: int = 5000,
 
         folded_psnr = float(jnp.mean(jax.vmap(_psnr)(nn_folded(noisy),
                                                      clean)))
+        # The folded model IS the deployment unit: save it as the
+        # one-file artifact bench.py measures (EMX_BENCH_ARTIFACT).
+        from emx.serve.artifact import save_denoiser_artifact
+
+        save_denoiser_artifact(os.path.join(out_dir, "artifact.npz"),
+                               folded_cfg, folded_vars)
 
     from emx.analysis.filters import save_err_hists
 
@@ -142,7 +149,8 @@ def main(out_dir: str, s2d: int = 2, steps: int = 5000,
     summary = {
         "metric": "quality_anchor",
         "s2d": s2d, "steps": int(state.step), "batch": batch,
-        "full_res_head": full_res_head, "norm": norm,
+        "full_res_head": full_res_head, "mid_res_head": mid_res_head,
+        "norm": norm,
         "train_img_per_s": round(batch * (int(state.step) - start) / train_s,
                                  2),
         "nn_psnr": round(results["nn"]["psnr"], 3),
@@ -167,4 +175,5 @@ if __name__ == "__main__":
          int(a[2]) if len(a) > 2 else 5000,
          int(a[3]) if len(a) > 3 else 16,
          int(a[4]) if len(a) > 4 else 0,
-         a[5] if len(a) > 5 else "group")
+         a[5] if len(a) > 5 else "group",
+         int(a[6]) if len(a) > 6 else 0)

@@ -103,21 +103,39 @@ class DataPipeline:
         consumed. The prefetch worker never touches self.epoch/index; the
         consumer commits the cursor as batches are yielded, so a
         checkpoint taken mid-stream never skips prefetched-but-unconsumed
-        batches on resume."""
+        batches on resume.
+
+        File sources fan the reads out over `num_workers` threads: image
+        decode (PIL) and file IO release the GIL, so reads overlap even
+        on a single-core host. Array sources (incl. np.load(mmap_mode=
+        'r') packed stacks — the production path, see pack_crops) stay
+        serial: they are memcpy-bound and threads only add overhead."""
         b = self.cfg.batch_size
         epoch, index = self.epoch, self.index
-        while True:
-            order = self._order(epoch)
-            while index + b <= self._n:
-                idxs = order[index : index + b]
-                batch = np.stack(
-                    [self._load(int(i), epoch, index + j)
-                     for j, i in enumerate(idxs)]
-                )
-                index += b
-                yield batch, epoch, index
-            epoch += 1
-            index = 0
+        pool = None
+        if not isinstance(self.source, np.ndarray) and self.cfg.num_workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(max_workers=self.cfg.num_workers)
+        try:
+            while True:
+                order = self._order(epoch)
+                while index + b <= self._n:
+                    idxs = order[index : index + b]
+                    args = [(int(i), epoch, index + j)
+                            for j, i in enumerate(idxs)]
+                    if pool is not None:
+                        imgs = list(pool.map(lambda a: self._load(*a), args))
+                    else:
+                        imgs = [self._load(*a) for a in args]
+                    batch = np.stack(imgs)
+                    index += b
+                    yield batch, epoch, index
+                epoch += 1
+                index = 0
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=False, cancel_futures=True)
 
     def _prefetching_iter(self) -> Iterator[np.ndarray]:
         q: queue.Queue = queue.Queue(maxsize=self.cfg.prefetch)

@@ -59,8 +59,24 @@ class DenoiserConfig:
     # 22.6 dB val PSNR — BELOW the noisy input (4x4 blocking; the head
     # predicts 16 pixels per site from quarter-res features) — while
     # s2d=2 reaches 36.4 dB. A few thin convs at full res restore the
-    # fine detail the folded head cannot express.
+    # fine detail the folded head cannot express. The refinement stage
+    # is fed the RAW full-resolution input alongside the upsampled body
+    # prediction (round-3 change): the noisy input carries the high-
+    # frequency detail the folded body cannot, so the head becomes a
+    # locally-guided denoiser rather than a blind sharpener.
     full_res_head: int = 0  # feature width; 0 disables
+    # Mid-resolution refinement head (round 3): for s2d=4, first
+    # depth_to_space by `mid_res_factor` (to half resolution, where a
+    # 2x2 fold of the raw input is losslessly available as 4 channels),
+    # refine with `mid_res_depth` sep convs at width `mid_res_head`
+    # concat'd with the folded input, THEN predict the remaining 2x2
+    # block. This reproduces the head geometry that makes s2d=2 good
+    # (2x2 prediction from half-res features with full input access) on
+    # top of the 4x-cheaper s2d=4 body; half-res refinement costs ~1/4
+    # of a full-res head of the same width.
+    mid_res_head: int = 0  # feature width; 0 disables
+    mid_res_factor: int = 2
+    mid_res_depth: int = 2
 
     @classmethod
     def tiny(cls) -> "DenoiserConfig":
@@ -106,7 +122,25 @@ class DenoiserConfig:
         r += 3 * s                  # decoder stage 2
         s //= 2
         r += 2 * s + 1              # full-res refinement + 3x3 head
+        if self.mid_res_head:
+            # refinement sep convs + head conv at mid resolution
+            r += (3 * self.mid_res_depth + 3) * max(
+                1, self.space_to_depth // self.mid_res_factor)
         return r * self.space_to_depth
+
+
+def _space_to_depth(x: jax.Array, f: int) -> jax.Array:
+    """Fold f x f spatial blocks into channels (encoder convention)."""
+    b, hh, ww, c = x.shape
+    x = x.reshape(b, hh // f, f, ww // f, f, c)
+    return jnp.moveaxis(x, 2, 4).reshape(b, hh // f, ww // f, f * f * c)
+
+
+def _depth_to_space(x: jax.Array, f: int) -> jax.Array:
+    """Unfold channels into f x f spatial blocks (head convention)."""
+    b, hh, ww, c = x.shape
+    x = x.reshape(b, hh, ww, f, f, c // (f * f))
+    return jnp.moveaxis(x, 3, 2).reshape(b, hh * f, ww * f, c // (f * f))
 
 
 class Denoiser(nn.Module):
@@ -121,6 +155,7 @@ class Denoiser(nn.Module):
         if squeeze:
             x = x[..., None]
         x = x.astype(cfg.dtype)
+        x_in = x  # raw full-resolution input for the refinement heads
 
         s2d = cfg.space_to_depth
         if s2d > 1:
@@ -188,22 +223,39 @@ class Denoiser(nn.Module):
         h = DeconvBlock(f[1], norm=cfg.norm, axis_name=cfg.axis_name,
                         mode=cfg.upsample, dtype=cfg.dtype)(d, train)
 
-        # Full resolution refinement + 1-channel head.
+        # Body-resolution refinement + head.
         d = SepConvBlock(f[0], **kw)(h, train)
         d = SepConvBlock(f[0], **kw)(d, train)
         d = d + ConvBlock(f[0], kernel=1, **kw)(h, train)
         frh = cfg.full_res_head
+        mrh = cfg.mid_res_head
         head_ch = frh if frh else 1
-        out = ConvBlock(s2d * s2d * head_ch, kernel=3, **kw)(d, train)
 
-        if s2d > 1:
-            b, hh, ww, c = out.shape
-            out = out.reshape(b, hh, ww, s2d, s2d, head_ch)
-            out = jnp.moveaxis(out, 3, 2).reshape(
-                b, hh * s2d, ww * s2d, head_ch)
+        if mrh and s2d > 1:
+            # Mid-resolution refinement: unfold by mid_res_factor, refine
+            # at width mrh alongside the (losslessly rem-folded) raw
+            # input, then predict the remaining rem x rem block.
+            m = min(cfg.mid_res_factor, s2d)
+            rem = s2d // m
+            out = ConvBlock(m * m * mrh, kernel=3, **kw)(d, train)
+            out = _depth_to_space(out, m)
+            x_mid = _space_to_depth(x_in, rem) if rem > 1 else x_in
+            cat = jnp.concatenate([out, x_mid], axis=-1)
+            r = cat
+            for _ in range(cfg.mid_res_depth):
+                r = SepConvBlock(mrh, **kw)(r, train)
+            r = r + ConvBlock(mrh, kernel=1, **kw)(cat, train)
+            out = ConvBlock(rem * rem * head_ch, kernel=3, **kw)(r, train)
+            if rem > 1:
+                out = _depth_to_space(out, rem)
+        else:
+            out = ConvBlock(s2d * s2d * head_ch, kernel=3, **kw)(d, train)
+            if s2d > 1:
+                out = _depth_to_space(out, s2d)
 
         if frh:
-            r = SepConvBlock(frh, **kw)(out, train)
+            cat = jnp.concatenate([out, x_in], axis=-1)
+            r = SepConvBlock(frh, **kw)(cat, train)
             out = ConvBlock(1, kernel=3, **kw)(out + r, train)
 
         out = jnp.clip(out.astype(jnp.float32), 0.0, 1.0)

@@ -1,0 +1,78 @@
+"""Deployment artifacts: one-file serialized (config, params) bundles.
+
+The reference's deployment unit is a frozen graph — weights baked into
+the served graphdef (tf_utility/freeze_graph.py:10-59). The TPU-native
+equivalent is a (DenoiserConfig, params) bundle: the config rebuilds the
+exact jitted program and the params are the folded (norm-free) weights,
+so the benched graph, the served graph, and the artifact are all the
+same program. Stored as one .npz: flattened param paths -> arrays plus
+a JSON-encoded config entry.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any
+
+import jax
+import numpy as np
+
+_CFG_KEY = "__config_json__"
+_SEP = "/"
+
+
+def _flatten(tree: dict, prefix: str = "") -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    for k, v in tree.items():
+        key = f"{prefix}{_SEP}{k}" if prefix else str(k)
+        if isinstance(v, dict):
+            out.update(_flatten(v, key))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def _unflatten(flat: dict[str, np.ndarray]) -> dict:
+    tree: dict = {}
+    for key, v in flat.items():
+        parts = key.split(_SEP)
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
+
+
+def save_denoiser_artifact(path: str, config, variables: dict) -> None:
+    """Save a Denoiser deployment bundle. `variables` must be inference
+    variables ({'params': ...}); fold BatchNorm first
+    (emx.serve.optimize.fold_denoiser)."""
+    if "batch_stats" in variables and jax.tree_util.tree_leaves(
+            variables["batch_stats"]):
+        raise ValueError("artifact must be a folded (norm-free) model; "
+                         "run emx.serve.optimize.fold_denoiser first")
+    flat = _flatten(jax.tree_util.tree_map(np.asarray,
+                                           variables["params"]))
+    cfg_json = json.dumps({
+        f.name: getattr(config, f.name)
+        if not f.name == "dtype" else str(np.dtype(getattr(config, f.name)))
+        for f in dataclasses.fields(config)
+    }, default=list)
+    np.savez(path, **flat, **{_CFG_KEY: np.frombuffer(
+        cfg_json.encode(), dtype=np.uint8)})
+
+
+def load_denoiser_artifact(path: str):
+    """Load a bundle; returns (DenoiserConfig, {'params': ...})."""
+    from emx.nn import DenoiserConfig
+
+    with np.load(path) as z:
+        cfg_d: dict[str, Any] = json.loads(bytes(z[_CFG_KEY]).decode())
+        flat = {k: z[k] for k in z.files if k != _CFG_KEY}
+    for k in ("features", "aspp_rates"):
+        cfg_d[k] = tuple(cfg_d[k])
+    # np.dtype resolves 'bfloat16' through jax's ml_dtypes registration.
+    cfg_d["dtype"] = np.dtype(cfg_d["dtype"]).type
+    config = DenoiserConfig(**cfg_d)
+    return config, {"params": _unflatten(flat)}

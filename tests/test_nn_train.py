@@ -210,3 +210,30 @@ def test_lr_hot_reload_updates_opt_state():
     g = {"w": jnp.ones(3)}
     updates, _ = opt.update(g, new_opt, {"w": jnp.zeros(3)})
     assert np.isfinite(np.asarray(updates["w"])).all()
+
+
+def test_denoiser_head_variants_shapes_and_grads():
+    """Round-3 heads: mid-res refinement (with lossless input fold) and
+    the input-skip full-res head keep output shape and carry gradient."""
+    import dataclasses
+
+    import jax
+
+    for kwargs in (dict(space_to_depth=4, mid_res_head=8),
+                   dict(space_to_depth=4, mid_res_head=8, mid_res_depth=3),
+                   dict(space_to_depth=4, full_res_head=8),
+                   dict(space_to_depth=4, mid_res_head=8, full_res_head=8)):
+        cfg = dataclasses.replace(DenoiserConfig.tiny(), **kwargs)
+        model = Denoiser(cfg)
+        x = jnp.linspace(0, 1, 64 * 64).reshape(1, 64, 64)
+        v = model.init(jax.random.key(0), x, train=False)
+        y = model.apply(v, x, train=False)
+        assert y.shape == (1, 64, 64)
+
+        def loss(p):
+            return jnp.mean(model.apply({"params": p}, x, train=False) ** 2)
+
+        g = jax.grad(loss)(v["params"])
+        total = sum(float(jnp.sum(jnp.abs(l)))
+                    for l in jax.tree_util.tree_leaves(g))
+        assert np.isfinite(total) and total > 0

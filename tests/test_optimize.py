@@ -65,3 +65,42 @@ def test_fold_rejects_groupnorm():
                          aspp_filters=8, aspp_out=8, norm="group")
     with pytest.raises(ValueError):
         fold_denoiser(cfg, {"params": {}})
+
+
+def test_artifact_roundtrip(tmp_path):
+    """save/load of the deployment bundle preserves config + outputs,
+    including the round-3 mid-res/full-res head variants."""
+    from emx.nn import Denoiser, DenoiserConfig
+    from emx.serve.artifact import load_denoiser_artifact, \
+        save_denoiser_artifact
+
+    cfg = DenoiserConfig(features=(8, 8, 8, 8, 8), num_middle_blocks=1,
+                         aspp_filters=8, aspp_out=8, norm="batch",
+                         space_to_depth=4, mid_res_head=8)
+    model = Denoiser(cfg)
+    x = jnp.asarray(np.random.default_rng(3).random((1, 64, 64)),
+                    jnp.float32)
+    variables = _trained_ish_variables(model, x, jax.random.key(4))
+    folded_cfg, folded_vars = fold_denoiser(cfg, variables)
+    expect = Denoiser(folded_cfg).apply(folded_vars, x, train=False)
+
+    p = str(tmp_path / "artifact.npz")
+    save_denoiser_artifact(p, folded_cfg, folded_vars)
+    cfg2, vars2 = load_denoiser_artifact(p)
+    assert cfg2 == folded_cfg
+    got = Denoiser(cfg2).apply(vars2, x, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
+                               atol=1e-6)
+
+
+def test_artifact_rejects_unfolded(tmp_path):
+    from emx.nn import Denoiser, DenoiserConfig
+    from emx.serve.artifact import save_denoiser_artifact
+
+    cfg = DenoiserConfig(features=(8, 8, 8, 8, 8), num_middle_blocks=1,
+                         aspp_filters=8, aspp_out=8, norm="batch")
+    model = Denoiser(cfg)
+    x = jnp.zeros((1, 32, 32), jnp.float32)
+    variables = _trained_ish_variables(model, x, jax.random.key(5))
+    with pytest.raises(ValueError):
+        save_denoiser_artifact(str(tmp_path / "a.npz"), cfg, variables)
