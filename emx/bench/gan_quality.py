@@ -1,0 +1,146 @@
+"""GAN infilling quality anchor (VERDICT r2 item 2).
+
+Trains the infilling GAN (fused G+D step, adaptive scheduling, collapse
+rollback — the full production machinery) on 1/64-coverage partial scans
+and scores MASKED-REGION PSNR on a held-out set against the classical
+interpolation ladder (emx.analysis.inpaint) — the infilling counterpart
+of the denoiser's classical-filter quality anchor. Reference workload:
+gan-infilling-100.py:1025-1036,1635-1642.
+
+Usage: python -m emx.bench.gan_quality <out_dir> [steps] [batch] [size]
+                                       [scale]
+Resumable (orbax); writes <out_dir>/quality.json + metrics.jsonl and
+prints the summary as one JSON line.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".jax_cache"),
+)
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main(out_dir: str, steps: int = 20000, batch: int = 8,
+         size: int = 256, scale: float = 0.5) -> dict:
+    from emx.analysis.inpaint import compare_infills, masked_psnr
+    from emx.data.degrade import apply_partial_scan, fixed_scan_mask, \
+        infilling_example, norm_neg1to1, sanitize
+    from emx.data.pipeline import DeviceDataset, PipelineConfig, \
+        synthetic_micrographs
+    from emx.nn.infilling import InfillingConfig, InfillingGenerator, \
+        MultiscaleDiscriminator
+    from emx.train.checkpoints import Checkpointer
+    from emx.train.gan import GANConfig, GANTrainer
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    # `scale` shrinks the reference widths (1.0 = full reference;
+    # 0.5 is the measured-throughput compromise that fits a round).
+    def s(v):
+        return max(8, int(v * scale))
+
+    net_cfg = InfillingConfig(
+        gen_features=tuple(s(v) for v in (32, 64, 64, 32)),
+        nin_down=tuple(s(v) for v in (128, 256, 768)),
+        nin_up=tuple(s(v) for v in (256, 128, 64)),
+        num_global_blocks=max(2, int(8 * scale)),
+        num_local_blocks=max(2, int(3 * scale)),
+        disc_features=tuple(s(v) for v in (32, 64, 128, 256, 512)),
+        norm="group", dtype=jnp.bfloat16,
+    )
+    cfg = GANConfig(
+        gen_lr=2e-4, disc_lr=2e-4, log_every=100,
+        trainee_switch_skip_n=2, max_num_since_change=32,
+        ckpt_every_steps=1000, model_dir=out_dir, seed=0,
+    )
+    mask = fixed_scan_mask((size, size), coverage=1 / 64)
+    example_fn = functools.partial(infilling_example, mask=mask)
+    trainer = GANTrainer(InfillingGenerator(net_cfg),
+                         MultiscaleDiscriminator(net_cfg), cfg,
+                         example_fn=example_fn)
+
+    train_imgs = synthetic_micrographs(1024, size, seed=0)
+    val_imgs = synthetic_micrographs(32, size, seed=999)
+    pipe = DeviceDataset(train_imgs,
+                         PipelineConfig(batch_size=batch, crop_size=size))
+    state = trainer.init(jnp.asarray(train_imgs[:batch]))
+    ckpt = Checkpointer(os.path.join(out_dir, "ckpt"))
+    if ckpt.latest_step() is not None:
+        state, pipe_state = ckpt.restore(state)
+        if pipe_state:
+            pipe.load_state_dict(pipe_state)
+    start = int(state.step)
+    t0 = time.perf_counter()
+    if start < steps:
+        state = trainer.fit(state, pipe, num_steps=steps,
+                            checkpointer=ckpt)
+    train_s = max(time.perf_counter() - t0, 1e-9)
+    ckpt.save(int(state.step), state, pipe.state_dict(), wait=True)
+    ckpt.close()
+
+    # Held-out eval: deterministic partial scans of unseen micrographs.
+    @jax.jit
+    def make_val(imgs):
+        def one(img):
+            img = norm_neg1to1(sanitize(img, 0.0))
+            return apply_partial_scan(img, mask), img
+
+        return jax.vmap(one)(imgs)
+
+    masked, clean = make_val(jnp.asarray(val_imgs))
+
+    gvars = {"params": state.gen_params}
+    if jax.tree_util.tree_leaves(state.gen_stats):
+        gvars["batch_stats"] = state.gen_stats
+
+    @jax.jit
+    def nn_fn(x):
+        out = trainer.gen.apply(gvars, x, train=False)
+        # Scanned pixels are known (x carries the true values there):
+        # copy them through — only unscanned pixels are the model's.
+        return jnp.where(mask, x, out)
+
+    # Score in [-1, 1] -> max_val 2.
+    results = compare_infills(masked, clean, mask, nn_fn=nn_fn, max_val=2.0)
+    identity = float(jnp.mean(jax.vmap(
+        lambda p, t: masked_psnr(p, t, mask, 2.0))(masked, clean)))
+
+    best_classical = max(
+        ((k, v["psnr_masked"]) for k, v in results.items() if k != "nn"),
+        key=lambda kv: kv[1])
+    summary = {
+        "metric": "gan_infilling_quality",
+        "steps": int(state.step), "batch": batch, "size": size,
+        "scale": scale, "coverage": "1/64",
+        "train_step_per_s": round((int(state.step) - start)
+                                  / train_s, 3),
+        "nn_psnr_masked": round(results["nn"]["psnr_masked"], 3),
+        "best_classical": [best_classical[0], round(best_classical[1], 3)],
+        "identity_psnr_masked": round(identity, 3),
+        "all": {k: round(v["psnr_masked"], 3) for k, v in results.items()},
+    }
+    with open(os.path.join(out_dir, "quality.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps(summary), flush=True)
+    return summary
+
+
+if __name__ == "__main__":
+    a = sys.argv[1:]
+    main(a[0] if a else "docs/runs/gan_quality",
+         int(a[1]) if len(a) > 1 else 20000,
+         int(a[2]) if len(a) > 2 else 8,
+         int(a[3]) if len(a) > 3 else 256,
+         float(a[4]) if len(a) > 4 else 0.5)

@@ -43,9 +43,15 @@ def element_symbol(label: str) -> str:
             out += c
         else:
             break
-    # CIF type symbols are 1-2 letters, first upper.
-    return out[:2].capitalize() if len(out) >= 2 and out[:2].capitalize() \
-        in ATOMIC_NUMBER else out[:1].upper()
+    # CIF type symbols are 1-2 letters, first upper. Only take the
+    # 2-letter reading when the label's second character is lowercase:
+    # site labels like 'HO1'/'HF2' (hydrogen sites, common when only
+    # _atom_site_label is present) must resolve to H, not Ho/Hf
+    # (ADVICE r2). A true 2-letter element in a CIF is written 'Ho1'.
+    if (len(out) >= 2 and out[1].islower()
+            and out[:2].capitalize() in ATOMIC_NUMBER):
+        return out[:2].capitalize()
+    return out[:1].upper()
 
 
 def parse_cif(text: str) -> dict:

@@ -64,6 +64,25 @@ def census(
     return counts
 
 
+def raw_stats(data: np.ndarray) -> dict[str, float]:
+    """Pre-resize stats of the raw decoded image (img_params.m:7-21),
+    computed on host so heterogeneous corpus shapes never retrace the
+    jitted resized-stats function."""
+    n_px = float(data.size)
+    return {
+        "smallest_dim": float(min(data.shape[-2:])),
+        "height": float(data.shape[-2]),
+        "width": float(data.shape[-1]),
+        "num_px": n_px,
+        "min": float(data.min()),
+        "max": float(data.max()),
+        "num_nonzero": float(np.count_nonzero(data)),
+        "proportion_zero": float(np.count_nonzero(data)) / n_px,
+        "num_negative": float((data < 0).sum()),
+        "proportion_negative": float((data < 0).sum()) / n_px,
+    }
+
+
 def reap(
     paths: list[str],
     out_dir: str,
@@ -92,11 +111,14 @@ def reap(
                 continue
             img = harvest_preprocess(jnp.asarray(data), size)
             stats = {k: float(v) for k, v in stats_fn(img).items()}
+            # Raw-image stats on host (numpy): jitting them would retrace
+            # per distinct source shape (img_params.m:7-21 semantics).
+            stats.update(raw_stats(data))
             if stats["noise_0to1"] > noise_cutoff and (
                 stats["stddev_0to1"] < noise_cutoff
             ):
                 continue  # noise dominates signal
-            lo, hi = stats["min"], stats["max"]
+            lo, hi = stats["min_resized"], stats["max_resized"]
             norm = (np.asarray(img) - lo) / max(hi - lo, 1e-12)
             out_path = os.path.join(out_dir, f"reaping{shard_index}_{n}.tif")
             write_tiff(out_path, norm.astype(np.float32))

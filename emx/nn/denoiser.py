@@ -77,6 +77,17 @@ class DenoiserConfig:
     mid_res_head: int = 0  # feature width; 0 disables
     mid_res_factor: int = 2
     mid_res_depth: int = 2
+    # Kernel-prediction head (round 3): the body predicts, per OUTPUT
+    # pixel, softmax mixing weights over a basis of candidate estimates
+    # {body value, raw input, kernel_pred_head Gaussian blurs of the
+    # input} — per-pixel adaptive smoothing (KPN-style) at a fraction of
+    # a refinement head's bandwidth: the full-res work is K separable
+    # blurs + one weighted sum. The best classical filter on the val
+    # ladder IS a fixed Gaussian (36.01 dB), so a body-guided per-pixel
+    # blend of Gaussian scales strictly generalises it while the body
+    # value channel supplies the nonlinear estimate.
+    kernel_pred_head: int = 0  # number of Gaussian scales; 0 disables
+    kernel_pred_sigmas: tuple[float, ...] = (1.0, 2.0, 4.0)
 
     @classmethod
     def tiny(cls) -> "DenoiserConfig":
@@ -126,7 +137,12 @@ class DenoiserConfig:
             # refinement sep convs + head conv at mid resolution
             r += (3 * self.mid_res_depth + 3) * max(
                 1, self.space_to_depth // self.mid_res_factor)
-        return r * self.space_to_depth
+        r *= self.space_to_depth
+        if self.kernel_pred_head:
+            # widest Gaussian basis blur acts at full input resolution
+            r += int(3 * max(
+                self.kernel_pred_sigmas[: self.kernel_pred_head]))
+        return r
 
 
 def _space_to_depth(x: jax.Array, f: int) -> jax.Array:
@@ -141,6 +157,23 @@ def _depth_to_space(x: jax.Array, f: int) -> jax.Array:
     b, hh, ww, c = x.shape
     x = x.reshape(b, hh, ww, f, f, c // (f * f))
     return jnp.moveaxis(x, 3, 2).reshape(b, hh * f, ww * f, c // (f * f))
+
+
+def _gaussian_blur_nhwc(x: jax.Array, sigma: float) -> jax.Array:
+    """Separable Gaussian blur of an NHWC(C=1) tensor, SAME edge
+    (reflect-free zero pad is fine: the basis is learned against)."""
+    radius = max(1, int(3.0 * sigma))
+    t = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * (t / sigma) ** 2)
+    k = (k / jnp.sum(k)).astype(x.dtype)
+    x = jnp.moveaxis(x, -1, 1)  # NCHW
+    x = jax.lax.conv_general_dilated(
+        x, k[None, None, :, None], (1, 1),
+        padding=((radius, radius), (0, 0)))
+    x = jax.lax.conv_general_dilated(
+        x, k[None, None, None, :], (1, 1),
+        padding=((0, 0), (radius, radius)))
+    return jnp.moveaxis(x, 1, -1)
 
 
 class Denoiser(nn.Module):
@@ -248,6 +281,23 @@ class Denoiser(nn.Module):
             out = ConvBlock(rem * rem * head_ch, kernel=3, **kw)(r, train)
             if rem > 1:
                 out = _depth_to_space(out, rem)
+        elif cfg.kernel_pred_head and s2d > 1:
+            # Kernel-prediction head: per output pixel, one body value v
+            # plus softmax logits over the basis {v, x, blur_sigma(x)...}.
+            sigmas = cfg.kernel_pred_sigmas[: cfg.kernel_pred_head]
+            n_basis = 2 + len(sigmas)
+            out = ConvBlock(s2d * s2d * (1 + n_basis), kernel=3, **kw)(
+                d, train)
+            out = _depth_to_space(out, s2d)
+            v = out[..., :1].astype(jnp.float32)
+            logits = out[..., 1:].astype(jnp.float32)
+            basis = jnp.concatenate(
+                [v, x_in.astype(jnp.float32)]
+                + [_gaussian_blur_nhwc(x_in, s).astype(jnp.float32)
+                   for s in sigmas], axis=-1)
+            w = jax.nn.softmax(logits, axis=-1)
+            out = jnp.sum(w * basis, axis=-1, keepdims=True)
+            out = out.astype(cfg.dtype)
         else:
             out = ConvBlock(s2d * s2d * head_ch, kernel=3, **kw)(d, train)
             if s2d > 1:

@@ -73,8 +73,14 @@ def make_pod_mesh(
             # tests): group by process so 'dcn' spans process boundaries.
             devs = sorted(
                 jax.devices(),
-                key=lambda d: (getattr(d, "slice_index", None)
-                               or d.process_index, d.id),
+                # Explicit None check: slice_index == 0 is a valid slice,
+                # not a missing attribute (ADVICE r2).
+                key=lambda d: (
+                    d.slice_index
+                    if getattr(d, "slice_index", None) is not None
+                    else d.process_index,
+                    d.id,
+                ),
             )
             devices = np.asarray(devs).reshape(
                 n_slices, per_slice // spatial, spatial

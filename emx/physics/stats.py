@@ -77,8 +77,13 @@ def radial_fft_profile(img: jax.Array, num_bins: int | None = None):
 
 
 STAT_NAMES = (
+    # Raw-image stats (img_params.m:7-21 — computed BEFORE the resize):
+    "smallest_dim", "height", "width", "num_px",
     "min", "max", "num_nonzero", "proportion_zero", "num_negative",
-    "proportion_negative", "noise", "mean", "stddev", "skewness", "kurtosis",
+    "proportion_negative",
+    # Resized (2048) stats (img_params.m:34-51):
+    "noise", "mean", "stddev", "skewness", "kurtosis",
+    "min_resized", "max_resized",
     "median", "coeff_variation", "rms",
     "mean_freq", "stddev_freq", "skewness_freq", "kurtosis_freq",
     "mean_noise_gauss", "stddev_noise_gauss", "skewness_noise_gauss",
@@ -91,26 +96,42 @@ STAT_NAMES = (
 )
 
 
-def image_stats(img: jax.Array) -> dict[str, jax.Array]:
-    """Compute the reference's per-image statistics compendium on a square,
-    already-resized image (the resize-to-2048 step lives in emx.data.crops).
+def image_stats(
+    img: jax.Array, raw: jax.Array | None = None
+) -> dict[str, jax.Array]:
+    """Compute the reference's full per-image statistics compendium
+    (all 40 img_params.m fields) on a square, already-resized image (the
+    resize-to-2048 step lives in emx.data.crops).
+
+    `raw` is the pre-resize image the dimension/extrema/zero-count stats
+    are computed from (img_params.m:7-21 runs them before the resize);
+    when omitted, `img` stands in for both (raw == resized).
 
     Fully jit-able; vmap over a batch for the census workload
-    (DM3stoTIFs-batch/harvester.m / reaper.m).
+    (DM3stoTIFs-batch/harvester.m / reaper.m). Note: passing `raw`
+    retraces per distinct raw shape — for heterogeneous corpora compute
+    the five raw stats on host (emx.data.harvest.raw_stats) instead.
     """
     img = img.astype(jnp.float32)
-    n_px = img.size
+    ref = img if raw is None else raw.astype(jnp.float32)
+    n_px = ref.size
     out: dict[str, jax.Array] = {}
-    out["min"] = jnp.min(img)
-    out["max"] = jnp.max(img)
-    out["num_nonzero"] = jnp.sum(img != 0).astype(jnp.float32)
+    out["smallest_dim"] = jnp.float32(min(ref.shape[-2:]))
+    out["height"] = jnp.float32(ref.shape[-2])
+    out["width"] = jnp.float32(ref.shape[-1])
+    out["num_px"] = jnp.float32(n_px)
+    out["min"] = jnp.min(ref)
+    out["max"] = jnp.max(ref)
+    out["num_nonzero"] = jnp.sum(ref != 0).astype(jnp.float32)
     out["proportion_zero"] = out["num_nonzero"] / n_px
-    out["num_negative"] = jnp.sum(img < 0).astype(jnp.float32)
+    out["num_negative"] = jnp.sum(ref < 0).astype(jnp.float32)
     out["proportion_negative"] = out["num_negative"] / n_px
 
     out["noise"] = estimate_noise(img)
     mean, std, skew, kurt = _moments(img)
     out["mean"], out["stddev"], out["skewness"], out["kurtosis"] = mean, std, skew, kurt
+    out["min_resized"] = jnp.min(img)
+    out["max_resized"] = jnp.max(img)
     out["median"] = jnp.median(img)
     out["coeff_variation"] = 100.0 * std / mean
     out["rms"] = jnp.sqrt(jnp.mean(img**2))
@@ -129,9 +150,10 @@ def image_stats(img: jax.Array) -> dict[str, jax.Array]:
     out["kurtosis_noise_gauss"] = gkurt
     out["ratio_mean_noise_to_mean"] = gmean / mean
 
-    # Repeat for the 0-1 rescaled copy.
-    span = jnp.maximum(out["max"] - out["min"], 1e-20)
-    img01 = (img - out["min"]) / span
+    # Repeat for the 0-1 rescaled copy (rescale uses the RESIZED
+    # extrema — img_params.m:80).
+    span = jnp.maximum(out["max_resized"] - out["min_resized"], 1e-20)
+    img01 = (img - out["min_resized"]) / span
     out["noise_0to1"] = estimate_noise(img01)
     m1, s1, _, _ = _moments(img01)
     out["mean_0to1"], out["stddev_0to1"] = m1, s1

@@ -87,6 +87,9 @@ class InferenceServer:
                     self.end_headers()
                     return
                 t0 = time.perf_counter()
+                # Count every received request up front so errors can
+                # never exceed requests (ADVICE r2).
+                server.metrics["requests"] += 1
                 n = int(self.headers.get("Content-Length", 0))
                 raw = self.rfile.read(n)
                 try:
@@ -109,7 +112,6 @@ class InferenceServer:
                     self.end_headers()
                     self.wfile.write(b"inference timed out")
                     return
-                server.metrics["requests"] += 1
                 server.metrics["total_latency_s"] += time.perf_counter() - t0
                 if pending.error is not None:
                     server.metrics["errors"] += 1
@@ -148,6 +150,12 @@ class InferenceServer:
                     continue
                 by_shape.setdefault(p.img.shape, []).append(p)
             for shape, group in by_shape.items():
+                # Re-check cancellation at launch time: a pending that
+                # timed out while queued in this dispatch group would
+                # otherwise still pay for a full inference (ADVICE r2).
+                group = [p for p in group if not p.cancelled]
+                if not group:
+                    continue
                 try:
                     stacked = np.stack([p.img for p in group])
                     out = np.asarray(self.apply_fn(stacked))

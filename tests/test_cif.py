@@ -86,3 +86,13 @@ def test_stage_felix_jobs(tmp_path):
         assert (d / "felix.cif").exists()
         assert (d / "felix.inp").read_text() == "inp"
         assert (d / "felix.hkl").read_text() == "hkl"
+
+
+def test_element_symbol_hydrogen_site_labels():
+    """'HO1'/'HF2' are hydrogen site labels (H bound to O1/F2), not
+    Ho/Hf — the 2-letter reading requires a lowercase second letter
+    (ADVICE r2)."""
+    assert element_symbol("HO1") == "H"
+    assert element_symbol("HF2") == "H"
+    assert element_symbol("Ho1") == "Ho"
+    assert element_symbol("Hf2") == "Hf"

@@ -124,3 +124,72 @@ def test_radial_profile_peak_matches_frequency():
     profile = np.asarray(profile)
     # Ignore the DC bin; the peak must sit at radius 16.
     assert abs(int(np.argmax(profile[1:])) + 1 - 16) <= 1
+
+
+def _matlab_stats_fixture(raw, img):
+    """Expected values computed straight from the img_params.m formulas
+    (MATLAB-derived fixture in numpy; std/skew/kurt population-normalised
+    — the N vs N-1 difference is < 1e-5 at these sizes and covered by
+    the tolerances)."""
+    def moments(x):
+        x = x.ravel().astype(np.float64)
+        m, s = x.mean(), x.std()
+        c = x - m
+        return m, s, (c**3).mean() / max(s, 1e-20) ** 3, \
+            (c**4).mean() / max(s**2, 1e-30) ** 2
+
+    e = {}
+    e["smallest_dim"] = min(raw.shape)
+    e["height"], e["width"] = raw.shape
+    e["num_px"] = raw.size
+    e["min"], e["max"] = raw.min(), raw.max()
+    e["num_nonzero"] = np.count_nonzero(raw)
+    e["proportion_zero"] = e["num_nonzero"] / raw.size
+    e["num_negative"] = (raw < 0).sum()
+    e["proportion_negative"] = e["num_negative"] / raw.size
+    m, s, sk, ku = moments(img)
+    e["mean"], e["stddev"], e["skewness"], e["kurtosis"] = m, s, sk, ku
+    e["min_resized"], e["max_resized"] = img.min(), img.max()
+    e["median"] = np.median(img)
+    e["coeff_variation"] = 100.0 * s / m
+    e["rms"] = np.sqrt((img.astype(np.float64) ** 2).mean())
+    sq = np.sqrt(np.maximum(img, 0.0))
+    gm, gs, gsk, gku = moments(sq)
+    e["mean_noise_gauss"], e["stddev_noise_gauss"] = gm, gs
+    e["skewness_noise_gauss"], e["kurtosis_noise_gauss"] = gsk, gku
+    e["ratio_mean_noise_to_mean"] = gm / m
+    img01 = (img - img.min()) / (img.max() - img.min())
+    m1, s1, _, _ = moments(img01)
+    e["mean_0to1"], e["stddev_0to1"] = m1, s1
+    e["median_0to1"] = np.median(img01)
+    e["coeff_variation_0to1"] = 100.0 * s1 / m1
+    e["rms_0to1"] = np.sqrt((img01.astype(np.float64) ** 2).mean())
+    sq1 = np.sqrt(np.maximum(img01, 0.0))
+    g1 = moments(sq1)
+    e["mean_noise_gauss_0to1"], e["stddev_noise_gauss_0to1"] = g1[0], g1[1]
+    e["skewness_noise_gauss_0to1"], e["kurtosis_noise_gauss_0to1"] = \
+        g1[2], g1[3]
+    e["ratio_mean_noise_to_mean_0to1"] = g1[0] / m1
+    return e
+
+
+@pytest.mark.parametrize("name", physics.STAT_NAMES)
+def test_full_compendium_stat(name):
+    """Every img_params.m compendium field is present and (where the
+    formula is closed-form) matches the MATLAB-derived fixture."""
+    rng = np.random.default_rng(11)
+    raw = rng.random((160, 144)).astype(np.float32) * 2.0 - 0.2
+    img = np.asarray(
+        jax.image.resize(jnp.asarray(raw[:144, :144]), (128, 128),
+                         "linear"))
+    stats = jax.jit(physics.image_stats)(jnp.asarray(img),
+                                         jnp.asarray(raw))
+    assert set(stats) == set(physics.STAT_NAMES)
+    assert len(physics.STAT_NAMES) == 40
+    expect = _matlab_stats_fixture(raw, img)
+    got = float(stats[name])
+    assert np.isfinite(got)
+    if name in expect:
+        assert got == pytest.approx(float(expect[name]), rel=2e-3,
+                                    abs=2e-3), name
+    # noise / radial-frequency stats have dedicated tests above.
