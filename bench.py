@@ -71,7 +71,9 @@ def main() -> None:
         artifact = None
         cfg = DenoiserConfig(norm="none", dtype=jnp.bfloat16,
                              space_to_depth=s2d, full_res_head=frh,
-                             mid_res_head=mrh)
+                             mid_res_head=mrh,
+                             folded_head=int(os.environ.get(
+                                 "EMX_BENCH_FOLD", "0")))
         model = Denoiser(cfg)
         x0 = jnp.zeros((batch, 512, 512), jnp.float32)
         variables = model.init(jax.random.key(0), x0, train=False)

@@ -35,7 +35,8 @@ import numpy as np
 
 def main(out_dir: str, s2d: int = 2, steps: int = 5000,
          batch: int = 16, full_res_head: int = 0,
-         norm: str = "group", mid_res_head: int = 0) -> dict:
+         norm: str = "group", mid_res_head: int = 0,
+         folded_head: int = 0) -> dict:
     from emx.analysis.filters import compare_denoisers
     from emx.data.degrade import denoiser_example, poisson_dose
     from emx.data.pipeline import DeviceDataset, PipelineConfig, \
@@ -50,7 +51,8 @@ def main(out_dir: str, s2d: int = 2, steps: int = 5000,
     cfg = DenoiserConfig(norm=norm, dtype=jnp.bfloat16,
                          space_to_depth=s2d, remat_middle=True,
                          full_res_head=full_res_head,
-                         mid_res_head=mid_res_head)
+                         mid_res_head=mid_res_head,
+                         folded_head=folded_head)
     model = Denoiser(cfg)
     # Reference hyperparameters: nesterov momentum 0.9, initial lr 1e-3
     # (denoiser-multi-gpu.py:118,1064-1066).
@@ -150,7 +152,7 @@ def main(out_dir: str, s2d: int = 2, steps: int = 5000,
         "metric": "quality_anchor",
         "s2d": s2d, "steps": int(state.step), "batch": batch,
         "full_res_head": full_res_head, "mid_res_head": mid_res_head,
-        "norm": norm,
+        "folded_head": folded_head, "norm": norm,
         "train_img_per_s": round(batch * (int(state.step) - start) / train_s,
                                  2),
         "nn_psnr": round(results["nn"]["psnr"], 3),
@@ -176,4 +178,5 @@ if __name__ == "__main__":
          int(a[3]) if len(a) > 3 else 16,
          int(a[4]) if len(a) > 4 else 0,
          a[5] if len(a) > 5 else "group",
-         int(a[6]) if len(a) > 6 else 0)
+         int(a[6]) if len(a) > 6 else 0,
+         int(a[7]) if len(a) > 7 else 0)

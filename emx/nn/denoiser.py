@@ -88,6 +88,19 @@ class DenoiserConfig:
     # value channel supplies the nonlinear estimate.
     kernel_pred_head: int = 0  # number of Gaussian scales; 0 disables
     kernel_pred_sigmas: tuple[float, ...] = (1.0, 2.0, 4.0)
+    # Folded-space refinement head (round 3, the lane-efficient design):
+    # measured on v5e, EVERY unfolded full/mid-res refinement variant
+    # (full_res_head, mid_res_head, kernel_pred_head) pays a large tax
+    # because tensors with < 128 channels waste TPU vector lanes
+    # (1-48 ch at 256-512^2 run at 1-40% lane efficiency). Instead:
+    # concat the s2d-FOLDED raw input (s2d^2 channels, lossless — every
+    # input pixel is present) onto the body-resolution features and
+    # refine at `folded_head` width (128 = full lane width) BEFORE the
+    # head conv. A folded conv mixes sub-pixel positions jointly
+    # (a 2x2/4x4 block-wise operator), so the head predicts each
+    # sub-pixel with full input detail at ~1/16 the unfolded cost.
+    folded_head: int = 0  # feature width; 0 disables
+    folded_head_depth: int = 2
 
     @classmethod
     def tiny(cls) -> "DenoiserConfig":
@@ -133,6 +146,8 @@ class DenoiserConfig:
         r += 3 * s                  # decoder stage 2
         s //= 2
         r += 2 * s + 1              # full-res refinement + 3x3 head
+        if self.folded_head:
+            r += 3 * self.folded_head_depth  # folded convs at body res
         if self.mid_res_head:
             # refinement sep convs + head conv at mid resolution
             r += (3 * self.mid_res_depth + 3) * max(
@@ -263,6 +278,16 @@ class Denoiser(nn.Module):
         frh = cfg.full_res_head
         mrh = cfg.mid_res_head
         head_ch = frh if frh else 1
+
+        if cfg.folded_head and s2d > 1:
+            # Lane-efficient refinement in folded space with the
+            # losslessly folded raw input as a skip.
+            x_fold = _space_to_depth(x_in, s2d)
+            cat = jnp.concatenate([d, x_fold], axis=-1)
+            r = cat
+            for _ in range(cfg.folded_head_depth):
+                r = SepConvBlock(cfg.folded_head, **kw)(r, train)
+            d = r + ConvBlock(cfg.folded_head, kernel=1, **kw)(cat, train)
 
         if mrh and s2d > 1:
             # Mid-resolution refinement: unfold by mid_res_factor, refine

@@ -146,3 +146,47 @@ class FresnelEnv:
 
     def close(self):
         self.client.terminate()
+
+
+class StackedFresnelEnv:
+    """Observation wrapper for DQN autofocus: stacks the previous and
+    current frames plus a constant plane encoding the last action's
+    z-shift. Single-frame Fresnel contrast weakly encodes the defocus
+    SIGN (under/overfocus fringes differ), but the (prev, cur, action)
+    stack makes the improvement direction directly observable — the
+    keras-rl agent in the reference gets the same effect from its
+    window_length frame memory (em_env/fresnel_remover.py:96-101)."""
+
+    def __init__(self, env: FresnelEnv, max_shift: float | None = None):
+        self.env = env
+        self.max_shift = float(max_shift if max_shift is not None
+                               else env.max_shift)
+        self._prev = None
+        self.max_episode_steps = env.max_episode_steps
+
+    @property
+    def target_z(self):
+        return self.env.target_z
+
+    @property
+    def z(self):
+        return self.env.z
+
+    def _stack(self, obs, action_z: float):
+        a = np.full_like(obs, action_z / max(self.max_shift, 1e-9))
+        prev = obs if self._prev is None else self._prev
+        out = np.stack([prev, obs, a], axis=-1).astype(np.float32)
+        self._prev = obs
+        return out
+
+    def reset(self):
+        self._prev = None
+        return self._stack(self.env.reset(), 0.0)
+
+    def step(self, action):
+        obs, reward, done, info = self.env.step(action)
+        shift = float(np.asarray(action).ravel()[0])
+        return self._stack(obs, shift), reward, done, info
+
+    def close(self):
+        self.env.close()

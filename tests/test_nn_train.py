@@ -237,3 +237,29 @@ def test_denoiser_head_variants_shapes_and_grads():
         total = sum(float(jnp.sum(jnp.abs(l)))
                     for l in jax.tree_util.tree_leaves(g))
         assert np.isfinite(total) and total > 0
+
+
+def test_denoiser_folded_head_shapes_and_grads():
+    """Folded-space refinement (lane-efficient head): output shape kept,
+    gradients flow, receptive field accounts for the extra convs."""
+    import dataclasses
+
+    import jax
+
+    cfg = dataclasses.replace(DenoiserConfig.tiny(), space_to_depth=4,
+                              folded_head=16)
+    model = Denoiser(cfg)
+    x = jnp.linspace(0, 1, 64 * 64).reshape(1, 64, 64)
+    v = model.init(jax.random.key(0), x, train=False)
+    y = model.apply(v, x, train=False)
+    assert y.shape == (1, 64, 64)
+    base = dataclasses.replace(cfg, folded_head=0)
+    assert cfg.receptive_field_radius() > base.receptive_field_radius()
+
+    def loss(p):
+        return jnp.mean(model.apply({"params": p}, x, train=False) ** 2)
+
+    g = jax.grad(loss)(v["params"])
+    total = sum(float(jnp.sum(jnp.abs(l)))
+                for l in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(total) and total > 0
