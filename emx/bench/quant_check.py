@@ -1,0 +1,125 @@
+"""Quantized-deployment check: PSNR + throughput of the int8 modes
+against the float artifact (emx.serve.quantize).
+
+Loads a deployment artifact (emx.serve.artifact), scores the float
+graph and both quantized modes on the low-dose val ladder quality_run
+uses, and measures their inference throughput with the bench.py chain
+harness. A quantized graph is only eligible to become the benched
+deployment graph if its PSNR stays above the best classical filter.
+
+Usage: python -m emx.bench.quant_check <artifact.npz> [out_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _val_ladder(n=32, size=512):
+    from emx.data.degrade import poisson_dose
+    from emx.data.pipeline import synthetic_micrographs
+    from emx.utils.image import sanitize, scale0to1
+
+    imgs = jnp.asarray(synthetic_micrographs(n, size, seed=999))
+    doses = jnp.asarray(np.linspace(25.0, 150.0, n).astype(np.float32))
+
+    @jax.jit
+    def make(imgs, doses):
+        def one(k, img, dose):
+            img = scale0to1(sanitize(img))
+            lq = poisson_dose(k, img, dose)
+            tgt = img * (jnp.mean(lq) / jnp.maximum(jnp.mean(img), 1e-12))
+            return lq, tgt
+
+        keys = jax.random.split(jax.random.key(7), imgs.shape[0])
+        return jax.vmap(one)(keys, imgs, doses)
+
+    return make(imgs, doses)
+
+
+def _psnr(pred, truth):
+    from emx.utils.image import psnr
+
+    return round(float(jnp.mean(jax.vmap(psnr)(pred, truth))), 3)
+
+
+def _throughput(apply_fn, batch=96, chain=16) -> float:
+    xs = jax.jit(lambda k: jax.random.uniform(
+        k, (chain, batch, 512, 512), jnp.bfloat16))(jax.random.key(0))
+    jax.block_until_ready(xs)
+
+    @jax.jit
+    def run(xs):
+        def body(acc, x):
+            return acc + jnp.sum(apply_fn(x)), None
+
+        acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), xs)
+        return acc
+
+    float(run(xs))
+    rates = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        acc = jnp.zeros(())
+        for _ in range(2):
+            acc = acc + run(xs)
+        assert np.isfinite(float(acc))
+        rates.append(batch * chain * 2 / (time.perf_counter() - t0))
+    return round(sorted(rates)[1], 1)
+
+
+def main(artifact: str, out_dir: str = "docs/runs/quant_r3",
+         throughput: bool = True) -> dict:
+    from emx.nn import Denoiser
+    from emx.serve.artifact import load_denoiser_artifact
+    from emx.serve.quantize import calibrate, quantized_apply
+
+    os.makedirs(out_dir, exist_ok=True)
+    cfg, variables = load_denoiser_artifact(artifact)
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, dtype=jnp.bfloat16)
+    model = Denoiser(cfg)
+    noisy, clean = _val_ladder()
+
+    @jax.jit
+    def float_fn(x):
+        return model.apply(variables, x, train=False)
+
+    # Calibrate on a slice of the ladder inputs (the served regime).
+    amax = calibrate(model, variables, [noisy[:8]])
+
+    out: dict = {"metric": "quant_check", "artifact": artifact,
+                 "float_psnr": _psnr(float_fn(noisy), clean)}
+    fns = {"float": float_fn}
+    for mode in ("store", "mxu"):
+        try:
+            fn = jax.jit(quantized_apply(model, variables, amax,
+                                         mode=mode))
+            out[f"{mode}_psnr"] = _psnr(fn(noisy), clean)
+            fns[mode] = fn
+        except Exception as e:
+            out[f"{mode}_error"] = str(e)[:200]
+    if throughput:
+        for name, fn in fns.items():
+            try:
+                out[f"{name}_img_per_s"] = _throughput(fn)
+            except Exception as e:
+                out[f"{name}_throughput_error"] = str(e)[:200]
+    with open(os.path.join(out_dir, "quant_check.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out), flush=True)
+    return out
+
+
+if __name__ == "__main__":
+    a = sys.argv[1:]
+    main(a[0] if a else "docs/runs/flagship/artifact.npz",
+         a[1] if len(a) > 1 else "docs/runs/quant_r3")

@@ -1,0 +1,44 @@
+"""Post-training int8 quantization: both modes must compile and stay
+numerically close to the float model on the deployment (norm-free)
+denoiser graph."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from emx.nn import Denoiser, DenoiserConfig
+from emx.serve.quantize import calibrate, quantized_apply
+
+
+def _model_and_vars():
+    cfg = dataclasses.replace(DenoiserConfig.tiny(), norm="none",
+                              space_to_depth=4, folded_head=16)
+    model = Denoiser(cfg)
+    x = jnp.asarray(np.random.default_rng(0).random((2, 64, 64)),
+                    jnp.float32)
+    variables = model.init(jax.random.key(1), x, train=False)
+    return model, variables, x
+
+
+def test_calibrate_records_every_conv():
+    model, variables, x = _model_and_vars()
+    amax = calibrate(model, variables, [x])
+    n_convs = sum(1 for p in jax.tree_util.tree_leaves_with_path(
+        variables["params"])
+        if getattr(p[0][-1], "key", "") == "kernel"
+        and "ConvTranspose" not in str(p[0]))
+    assert len(amax) == n_convs
+    assert all(v > 0 for v in amax.values())
+
+
+def test_quantized_outputs_close_to_float():
+    model, variables, x = _model_and_vars()
+    amax = calibrate(model, variables, [x])
+    ref = np.asarray(model.apply(variables, x, train=False))
+    for mode in ("store", "mxu"):
+        fn = jax.jit(quantized_apply(model, variables, amax, mode=mode))
+        got = np.asarray(fn(x))
+        err = np.abs(got - ref).mean()
+        assert err < 0.02, (mode, err)
