@@ -161,7 +161,22 @@ def main() -> None:
             artifact, os.path.dirname(os.path.abspath(__file__)))
         extras["artifact_cfg"] = {
             "s2d": cfg.space_to_depth, "mid_res_head": cfg.mid_res_head,
-            "full_res_head": cfg.full_res_head}
+            "full_res_head": cfg.full_res_head,
+            "folded_head": cfg.folded_head}
+        # The coupled quality evidence for the measured graph: the
+        # training run's val-ladder PSNR vs the classical-filter bar
+        # (quality.json is written next to the artifact by quality_run).
+        qpath = os.path.join(os.path.dirname(artifact), "quality.json")
+        if os.path.exists(qpath):
+            with open(qpath) as f:
+                q = json.load(f)
+            extras["artifact_quality"] = {
+                "nn_psnr": q.get("nn_psnr"),
+                "nn_folded_psnr": q.get("nn_folded_psnr"),
+                "best_classical": q.get("best_classical"),
+                "identity_psnr": q.get("identity_psnr"),
+                "steps": q.get("steps"),
+            }
     print(json.dumps({
         "metric": "denoiser_512_throughput",
         "value": round(img_per_s, 2),

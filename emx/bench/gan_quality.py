@@ -64,6 +64,7 @@ def main(out_dir: str, steps: int = 20000, batch: int = 8,
         gen_lr=2e-4, disc_lr=2e-4, log_every=100,
         trainee_switch_skip_n=2, max_num_since_change=32,
         ckpt_every_steps=1000, model_dir=out_dir, seed=0,
+        mse_weight=10.0,  # bounded-budget PSNR anchor (see GANConfig)
     )
     mask = fixed_scan_mask((size, size), coverage=1 / 64)
     example_fn = functools.partial(infilling_example, mask=mask)

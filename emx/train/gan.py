@@ -60,6 +60,9 @@ class GANConfig(Config):
     gen_clip: float = config_field(50.0, "generator grad-norm clip")
     disc_clip: float = config_field(15.0, "discriminator grad-norm clip")
     feature_match_weight: float = config_field(12.0, "natural-statistics L1 weight")
+    mse_weight: float = config_field(
+        0.0, "direct reconstruction weight in the generator loss "
+             "(0 = reference-faithful adv + feature matching only)")
     disc_l2: float = config_field(5e-5, "discriminator L2 penalty")
     ema_decay: float = config_field(0.99, "prediction EMA decay")
     switch_low: float = config_field(0.3, "train G below this D(fake) EMA")
@@ -189,7 +192,12 @@ class GANTrainer:
                 )
                 adv = -jnp.log(jnp.clip(jnp.mean(p_fake), 1e-8, 1.0))
                 mse = jnp.mean((fake - truth) ** 2)
-                loss = adv + cfg.feature_match_weight * fm
+                # mse_weight defaults to 0: the reference generator loss
+                # is adv + feature matching only (gan-infilling-100.py:
+                # 1025-1036). A small direct reconstruction term speeds
+                # PSNR convergence within a bounded training budget.
+                loss = adv + cfg.feature_match_weight * fm \
+                    + cfg.mse_weight * mse
                 return loss, (new_gstats, fake, jnp.mean(p_fake), mse)
 
             (g_loss, (new_gstats, fake, p_fake_mean, mse)), g_grads = (
