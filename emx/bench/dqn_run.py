@@ -89,9 +89,10 @@ def main(out_dir: str = "docs/runs/dqn_autofocus",
     os.makedirs(out_dir, exist_ok=True)
     env = make_env(seed=0)
     obs0 = env.reset()
-    cfg = DQNConfig(num_actions=7, max_shift=1.0, eps_decay_steps=4000,
-                    warmup=400, target_update_every=250,
-                    buffer_size=20000, seed=0)
+    cfg = DQNConfig(num_actions=7, features=(32, 64), max_shift=1.0,
+                    eps_decay_steps=12000, warmup=400,
+                    target_update_every=500, learning_rate=5e-4,
+                    buffer_size=30000, seed=0)
     agent = DQNAgent(obs0.shape, cfg)
     logger = MetricsLogger(out_dir)
 
@@ -112,6 +113,9 @@ def main(out_dir: str = "docs/runs/dqn_autofocus",
             # return-maximisation with focusing fast. Evaluation uses
             # the raw env reward.
             shaped = prev_d - info["distance"]
+            if done and info["distance"] < env.env.proximity:
+                shaped += 2.0  # terminal success bonus: value CROSSING
+                # the proximity window, not just approaching it
             prev_d = info["distance"]
             agent.observe(obs, a, shaped, next_obs, done)
             obs = next_obs
@@ -147,6 +151,10 @@ def main(out_dir: str = "docs/runs/dqn_autofocus",
         > results["random"]["mean_return"],
         "beats_hillclimb": results["dqn"]["mean_return"]
         > results["hillclimb"]["mean_return"],
+        "beats_random_solve": results["dqn"]["solve_rate"]
+        > results["random"]["solve_rate"],
+        "beats_random_distance": results["dqn"]["mean_final_distance"]
+        < results["random"]["mean_final_distance"],
     }
     with open(os.path.join(out_dir, "quality.json"), "w") as f:
         json.dump({"results": results, **summary}, f, indent=1)

@@ -35,6 +35,7 @@ class QNetwork(nn.Module):
 @dataclasses.dataclass
 class DQNConfig:
     num_actions: int = 7  # symmetric z-shift bins
+    features: tuple = (16, 32)  # Q-network conv widths
     max_shift: float = 1.0
     gamma: float = 0.95
     learning_rate: float = 1e-3
@@ -82,7 +83,7 @@ class ReplayBuffer:
 class DQNAgent:
     def __init__(self, obs_shape, cfg: DQNConfig = DQNConfig()):
         self.cfg = cfg
-        self.net = QNetwork(cfg.num_actions)
+        self.net = QNetwork(cfg.num_actions, features=tuple(cfg.features))
         key = jax.random.key(cfg.seed)
         dummy = jnp.zeros((1, *obs_shape))
         self.params = self.net.init(key, dummy)
