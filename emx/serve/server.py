@@ -179,10 +179,29 @@ class InferenceServer:
 
 
 def serve_artifact(artifact_path: str, **kw) -> InferenceServer:
-    from emx.serve.export import load_artifact
+    """Serve either artifact format: the generic directory artifact
+    (emx.serve.export) or a one-file .npz denoiser deployment bundle
+    (emx.serve.artifact — the folded graph bench.py measures)."""
+    import os as _os
 
-    art = load_artifact(artifact_path)
-    apply_fn = art.apply_fn()
-    srv = InferenceServer(apply_fn, model_info={"model": art.model_name}, **kw)
+    if artifact_path.endswith(".npz") or _os.path.isfile(artifact_path):
+        from emx.nn import Denoiser
+        from emx.serve.artifact import load_denoiser_artifact
+
+        cfg, variables = load_denoiser_artifact(artifact_path)
+        model = Denoiser(cfg)
+
+        def apply_fn(x):
+            return model.apply(variables, x, train=False)
+
+        info = {"model": "denoiser", "s2d": cfg.space_to_depth,
+                "folded_head": cfg.folded_head}
+    else:
+        from emx.serve.export import load_artifact
+
+        art = load_artifact(artifact_path)
+        apply_fn = art.apply_fn()
+        info = {"model": art.model_name}
+    srv = InferenceServer(apply_fn, model_info=info, **kw)
     srv.start()
     return srv

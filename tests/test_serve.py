@@ -151,3 +151,39 @@ def test_inference_server_timeout_returns_504():
         assert b"timed out" in resp.read()
     finally:
         srv.stop()
+
+
+def test_serve_npz_denoiser_bundle(tmp_path):
+    """serve_artifact accepts the one-file deployment bundle and
+    serves predictions through HTTP."""
+    import dataclasses
+    import io
+    import urllib.request
+
+    import jax
+
+    from emx.nn import Denoiser, DenoiserConfig
+    from emx.serve.artifact import save_denoiser_artifact
+    from emx.serve.server import serve_artifact
+
+    cfg = dataclasses.replace(DenoiserConfig.tiny(), norm="none",
+                              space_to_depth=4, folded_head=8)
+    model = Denoiser(cfg)
+    x = jnp.zeros((1, 64, 64), jnp.float32)
+    variables = model.init(jax.random.key(0), x, train=False)
+    p = str(tmp_path / "artifact.npz")
+    save_denoiser_artifact(p, cfg, variables)
+
+    srv = serve_artifact(p, port=0)
+    try:
+        buf = io.BytesIO()
+        np.save(buf, np.random.default_rng(0).random((64, 64)).astype(
+            np.float32))
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/api/predict", data=buf.getvalue())
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            out = np.load(io.BytesIO(resp.read()))
+        assert out.shape == (64, 64)
+        assert np.isfinite(out).all()
+    finally:
+        srv.stop()
