@@ -220,6 +220,44 @@ def gan_demo(argv):
     run(a[0] if a else "runs/gan_demo", int(a[1]) if len(a) > 1 else 560)
 
 
+def gan_quality(argv):
+    """GAN infilling quality anchor (emx.bench.gan_quality)."""
+    from emx.bench.gan_quality import main as run
+
+    a = [x for x in argv if not x.startswith("-")]
+    run(a[0] if a else "runs/gan_quality",
+        int(a[1]) if len(a) > 1 else 20000)
+
+
+def zoo_ladder(argv):
+    """Model-zoo trained-quality ladder (emx.bench.zoo_ladder)."""
+    from emx.bench.zoo_ladder import main as run
+
+    a = [x for x in argv if not x.startswith("-")]
+    run(a[0] if a else "runs/zoo_ladder",
+        int(a[1]) if len(a) > 1 else 1500,
+        float(a[2]) if len(a) > 2 else 0.25)
+
+
+def dqn_autofocus(argv):
+    """DQN autofocus training + policy evaluation (emx.bench.dqn_run)."""
+    from emx.bench.dqn_run import main as run
+
+    a = [x for x in argv if not x.startswith("-")]
+    run(a[0] if a else "runs/dqn_autofocus",
+        int(a[1]) if len(a) > 1 else 800)
+
+
+def quant_check(argv):
+    """Quantized-deployment PSNR/throughput check
+    (emx.bench.quant_check)."""
+    from emx.bench.quant_check import main as run
+
+    a = [x for x in argv if not x.startswith("-")]
+    run(a[0] if a else "docs/runs/flagship/artifact.npz",
+        a[1] if len(a) > 1 else "runs/quant_check")
+
+
 COMMANDS = {
     "train-denoiser": train_denoiser,
     "train-infilling": train_infilling,
@@ -229,6 +267,10 @@ COMMANDS = {
     "bench-train": bench_train,
     "quality": quality,
     "gan-demo": gan_demo,
+    "gan-quality": gan_quality,
+    "zoo-ladder": zoo_ladder,
+    "dqn-autofocus": dqn_autofocus,
+    "quant-check": quant_check,
 }
 
 
