@@ -61,12 +61,21 @@ def main() -> None:
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "docs", "runs", "flagship", "artifact.npz"),
     )
+    quant = None
     if artifact and os.path.exists(artifact):
         from emx.serve.artifact import load_denoiser_artifact
 
-        cfg, variables = load_denoiser_artifact(artifact)
+        cfg, variables, quant = load_denoiser_artifact(
+            artifact, with_quant=True)
         cfg = __import__("dataclasses").replace(cfg, dtype=jnp.bfloat16)
         model = Denoiser(cfg)
+        # EMX_BENCH_QUANT overrides the artifact's promoted mode:
+        # "0" forces the float graph, "store"/"mxu" force a mode.
+        q_env = os.environ.get("EMX_BENCH_QUANT", "")
+        if q_env == "0":
+            quant = None
+        elif q_env in ("store", "mxu") and quant is not None:
+            quant = dict(quant, mode=q_env)
     else:
         artifact = None
         cfg = DenoiserConfig(norm="none", dtype=jnp.bfloat16,
@@ -90,10 +99,23 @@ def main() -> None:
     # block_until_ready can return before remote execution completes.
     chain = int(os.environ.get("EMX_BENCH_CHAIN", "64"))
 
+    if quant is not None:
+        # The artifact ships a quant_check-verified int8 serving mode:
+        # measure THAT graph (int8 fusion-boundary stores / MXU int8
+        # matmuls), not its float twin.
+        from emx.serve.quantize import quantized_apply
+
+        def apply_fn(v, x):
+            return quantized_apply(model, v, quant["amax"],
+                                   mode=quant["mode"])(x)
+    else:
+        def apply_fn(v, x):
+            return model.apply(v, x, train=False)
+
     @jax.jit
     def run_chain(v, xs):
         def body(acc, x):
-            return acc + jnp.sum(model.apply(v, x, train=False)), None
+            return acc + jnp.sum(apply_fn(v, x)), None
 
         acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), xs)
         return acc
@@ -163,6 +185,10 @@ def main() -> None:
             "s2d": cfg.space_to_depth, "mid_res_head": cfg.mid_res_head,
             "full_res_head": cfg.full_res_head,
             "folded_head": cfg.folded_head}
+        if quant is not None:
+            extras["quant"] = {k: v for k, v in quant.items()
+                               if k != "amax"} | {
+                "n_quantized_convs": len(quant["amax"])}
         # The coupled quality evidence for the measured graph: the
         # training run's val-ladder PSNR vs the classical-filter bar
         # (quality.json is written next to the artifact by quality_run).

@@ -76,7 +76,8 @@ def _throughput(apply_fn, batch=96, chain=16) -> float:
 
 
 def main(artifact: str, out_dir: str = "docs/runs/quant_r3",
-         throughput: bool = True) -> dict:
+         throughput: bool = True,
+         psnr_gate: float | None = None) -> dict:
     from emx.nn import Denoiser
     from emx.serve.artifact import load_denoiser_artifact
     from emx.serve.quantize import calibrate, quantized_apply
@@ -113,6 +114,33 @@ def main(artifact: str, out_dir: str = "docs/runs/quant_r3",
                 out[f"{name}_img_per_s"] = _throughput(fn)
             except Exception as e:
                 out[f"{name}_throughput_error"] = str(e)[:200]
+    # Promotion: the fastest quantized mode whose val-ladder PSNR clears
+    # `psnr_gate` (the best classical filter) AND that beats the float
+    # graph's throughput gets written as an int8-promoted bundle that
+    # bench.py serves directly (emx.serve.artifact quant entry).
+    if psnr_gate is not None:
+        from emx.serve.artifact import save_denoiser_artifact
+
+        float_tp = out.get("float_img_per_s", float("inf"))
+        best = None
+        for mode in ("mxu", "store"):
+            p, t = out.get(f"{mode}_psnr"), out.get(f"{mode}_img_per_s")
+            if p is None or t is None or p < psnr_gate or t <= float_tp:
+                continue
+            if best is None or t > out[f"{best}_img_per_s"]:
+                best = mode
+        out["psnr_gate"] = psnr_gate
+        out["promoted_mode"] = best
+        if best is not None:
+            dest = os.path.join(os.path.dirname(artifact) or ".",
+                                "artifact_int8.npz")
+            save_denoiser_artifact(dest, cfg, variables, quant={
+                "mode": best, "amax": amax,
+                "psnr": out[f"{best}_psnr"],
+                "float_psnr": out["float_psnr"],
+                "psnr_gate": psnr_gate,
+                "img_per_s_at_check": out[f"{best}_img_per_s"]})
+            out["promoted_artifact"] = dest
     with open(os.path.join(out_dir, "quant_check.json"), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out), flush=True)
@@ -122,4 +150,5 @@ def main(artifact: str, out_dir: str = "docs/runs/quant_r3",
 if __name__ == "__main__":
     a = sys.argv[1:]
     main(a[0] if a else "docs/runs/flagship/artifact.npz",
-         a[1] if len(a) > 1 else "docs/runs/quant_r3")
+         a[1] if len(a) > 1 else "docs/runs/quant_r3",
+         psnr_gate=float(a[2]) if len(a) > 2 else None)

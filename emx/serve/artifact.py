@@ -19,6 +19,7 @@ import jax
 import numpy as np
 
 _CFG_KEY = "__config_json__"
+_QUANT_KEY = "__quant_json__"
 _SEP = "/"
 
 
@@ -44,10 +45,17 @@ def _unflatten(flat: dict[str, np.ndarray]) -> dict:
     return tree
 
 
-def save_denoiser_artifact(path: str, config, variables: dict) -> None:
+def save_denoiser_artifact(path: str, config, variables: dict,
+                           quant: dict | None = None) -> None:
     """Save a Denoiser deployment bundle. `variables` must be inference
     variables ({'params': ...}); fold BatchNorm first
-    (emx.serve.optimize.fold_denoiser)."""
+    (emx.serve.optimize.fold_denoiser).
+
+    `quant` optionally promotes a post-training-quantized serving mode
+    into the bundle: {"mode": "store"|"mxu", "amax": {conv_path: float},
+    ...evidence}. Only written after emx.bench.quant_check has verified
+    the mode's val-ladder PSNR clears the classical-filter bar — a
+    loader that honors it (bench.py) then serves the int8 graph."""
     if "batch_stats" in variables and jax.tree_util.tree_leaves(
             variables["batch_stats"]):
         raise ValueError("artifact must be a folded (norm-free) model; "
@@ -59,20 +67,31 @@ def save_denoiser_artifact(path: str, config, variables: dict) -> None:
         if not f.name == "dtype" else str(np.dtype(getattr(config, f.name)))
         for f in dataclasses.fields(config)
     }, default=list)
-    np.savez(path, **flat, **{_CFG_KEY: np.frombuffer(
-        cfg_json.encode(), dtype=np.uint8)})
+    extra = {_CFG_KEY: np.frombuffer(cfg_json.encode(), dtype=np.uint8)}
+    if quant is not None:
+        assert quant.get("mode") in ("store", "mxu") and "amax" in quant
+        extra[_QUANT_KEY] = np.frombuffer(
+            json.dumps(quant).encode(), dtype=np.uint8)
+    np.savez(path, **flat, **extra)
 
 
-def load_denoiser_artifact(path: str):
-    """Load a bundle; returns (DenoiserConfig, {'params': ...})."""
+def load_denoiser_artifact(path: str, with_quant: bool = False):
+    """Load a bundle; returns (DenoiserConfig, {'params': ...}), plus the
+    quant dict (or None) as a third element when `with_quant`."""
     from emx.nn import DenoiserConfig
 
     with np.load(path) as z:
         cfg_d: dict[str, Any] = json.loads(bytes(z[_CFG_KEY]).decode())
-        flat = {k: z[k] for k in z.files if k != _CFG_KEY}
+        quant = (json.loads(bytes(z[_QUANT_KEY]).decode())
+                 if _QUANT_KEY in z.files else None)
+        flat = {k: z[k] for k in z.files
+                if k not in (_CFG_KEY, _QUANT_KEY)}
     for k in ("features", "aspp_rates"):
         cfg_d[k] = tuple(cfg_d[k])
     # np.dtype resolves 'bfloat16' through jax's ml_dtypes registration.
     cfg_d["dtype"] = np.dtype(cfg_d["dtype"]).type
     config = DenoiserConfig(**cfg_d)
-    return config, {"params": _unflatten(flat)}
+    variables = {"params": _unflatten(flat)}
+    if with_quant:
+        return config, variables, quant
+    return config, variables

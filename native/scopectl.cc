@@ -262,6 +262,10 @@ bool read_line(int fd, std::string* out) {
 }
 
 std::mutex g_cam_mu;
+// Listening socket, so a client-thread `terminate` can wake the main
+// thread out of its blocking accept() (otherwise the daemon lingers
+// until one more connection arrives).
+int g_srv_fd = -1;
 
 void serve_client(int fd, SimCamera& cam, std::atomic<bool>* terminate) {
   std::string line;
@@ -292,8 +296,11 @@ void serve_client(int fd, SimCamera& cam, std::atomic<bool>* terminate) {
         if (!write_all(fd, row.data(), row.size())) return;
       }
     }
+    if (terminate->load()) break;
   }
   close(fd);
+  // The reply has been flushed; now unblock accept() so main can exit.
+  if (terminate->load() && g_srv_fd >= 0) shutdown(g_srv_fd, SHUT_RDWR);
 }
 
 }  // namespace
@@ -312,6 +319,7 @@ int main(int argc, char** argv) {
   cam.dose = dose;
 
   int srv = socket(AF_INET, SOCK_STREAM, 0);
+  g_srv_fd = srv;
   int one = 1;
   setsockopt(srv, SOL_SOCKET, SO_REUSEADDR, &one, sizeof one);
   sockaddr_in addr{};

@@ -33,6 +33,32 @@ def test_calibrate_records_every_conv():
     assert all(v > 0 for v in amax.values())
 
 
+def test_quant_promoted_artifact_roundtrip(tmp_path):
+    """An int8-promoted bundle (emx.serve.artifact quant entry) carries
+    mode + amax through save/load, and the reloaded quantized graph
+    reproduces the in-memory quantized output exactly."""
+    from emx.serve.artifact import (load_denoiser_artifact,
+                                    save_denoiser_artifact)
+
+    model, variables, x = _model_and_vars()
+    amax = calibrate(model, variables, [x])
+    path = str(tmp_path / "artifact_int8.npz")
+    save_denoiser_artifact(path, model.config, variables,
+                           quant={"mode": "mxu", "amax": amax,
+                                  "psnr": 37.0})
+    cfg2, vars2, quant2 = load_denoiser_artifact(path, with_quant=True)
+    assert quant2["mode"] == "mxu" and quant2["psnr"] == 37.0
+    assert set(quant2["amax"]) == set(amax)
+    ref = np.asarray(quantized_apply(model, variables, amax, "mxu")(x))
+    got = np.asarray(quantized_apply(
+        __import__("emx.nn", fromlist=["Denoiser"]).Denoiser(cfg2),
+        vars2, quant2["amax"], "mxu")(x))
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+    # Plain load keeps the 2-tuple contract.
+    cfg3, vars3 = load_denoiser_artifact(path)
+    assert cfg3 == cfg2
+
+
 def test_quantized_outputs_close_to_float():
     model, variables, x = _model_and_vars()
     amax = calibrate(model, variables, [x])
