@@ -82,7 +82,12 @@ def hillclimb_policy(obs, rng, state):
 
 
 def main(out_dir: str = "docs/runs/dqn_autofocus",
-         episodes: int = 400) -> dict:
+         episodes: int = 400, cpu: bool = True) -> dict:
+    if cpu:  # tiny per-step calls: CPU beats the tunneled chip here
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     from emx.scope.dqn import DQNAgent, DQNConfig
     from emx.utils.metrics import MetricsLogger
 

@@ -1,0 +1,155 @@
+"""Reference-scale DQN autofocus on the batched jitted simulator.
+
+The serial trainer (emx.bench.dqn_run) tops out ~13 env-steps/s on this
+host — 20x short of the reference's 1.75M-step training budget
+(em_env/fresnel_remover.py:93-118). VecFresnelEnv advances B episodes
+per jitted call, and the agent's batched path (act_batch/observe_batch,
+Double-DQN targets) trains from the shared replay buffer, which reaches
+reference scale in under an hour of CPU.
+
+Trains on a 512-specimen pool (the serial run's collapse mode was
+overfitting its single training specimen: eval on an unseen specimen
+scored below random). Evaluation is unchanged from dqn_run — greedy
+policy on the raw serial FresnelEnv (scan-estimated target, unseen
+specimen seed) against the random and hill-climb baselines — so the
+numbers are directly comparable to the serial run's.
+
+Usage: python -m emx.bench.dqn_vec [out_dir] [total_env_steps] [batch]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main(out_dir: str = "docs/runs/dqn_autofocus",
+         total_steps: int = 1_500_000, batch_envs: int = 128,
+         train_steps_per_iter: int = 2, cpu: bool = True) -> dict:
+    if cpu:
+        # The sim + Q-net are small; per-iter tunnel latency on the axon
+        # TPU path dwarfs the compute, and the chip belongs to the
+        # denoiser/GAN jobs. jax is pre-imported (sitecustomize), so the
+        # config update is required in addition to the env var.
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    from emx.bench.dqn_run import (hillclimb_policy, make_env,
+                                   random_policy, run_policy)
+    from emx.scope.dqn import DQNAgent, DQNConfig
+    from emx.scope.vec_env import VecFresnelConfig, VecFresnelEnv
+    from emx.utils.metrics import MetricsLogger
+
+    os.makedirs(out_dir, exist_ok=True)
+    vcfg = VecFresnelConfig(batch=batch_envs, image_size=48,
+                            num_specimens=512, max_z_dist=3.0,
+                            proximity=0.15, max_episode_steps=16,
+                            specimen_seed=7)
+    env = VecFresnelEnv(vcfg)
+    cfg = DQNConfig(num_actions=7, features=(32, 64), max_shift=1.0,
+                    gamma=0.95, learning_rate=3e-4,
+                    eps_decay_steps=total_steps // 2, warmup=5_000,
+                    target_update_every=1_000, buffer_size=80_000,
+                    batch_size=256, double=True, seed=0)
+    agent = DQNAgent((vcfg.image_size, vcfg.image_size, 3), cfg)
+    logger = MetricsLogger(out_dir)
+
+    state, obs = env.reset(seed=0)
+    obs = np.asarray(obs)
+    t0 = time.perf_counter()
+    iters = total_steps // batch_envs
+    done_dists: list[float] = []
+    done_solved: list[float] = []
+    for it in range(iters):
+        actions = agent.act_batch(obs)
+        shifts = agent.shifts[actions]
+        state, next_obs, shaped, done, info = env.step(state, shifts)
+        next_obs = np.asarray(next_obs)
+        solved = np.asarray(info["solved"])
+        # Same shaping as the serial trainer: distance closed, plus a
+        # terminal bonus for crossing the proximity window.
+        rewards = np.asarray(shaped) + 2.0 * solved
+        agent.observe_batch(obs, actions, rewards, next_obs,
+                            np.asarray(done), train_steps=train_steps_per_iter)
+        d = np.asarray(done)
+        if d.any():
+            done_dists.extend(np.asarray(info["distance"])[d].tolist())
+            done_solved.extend(solved[d].astype(np.float32).tolist())
+        obs = next_obs
+        if (it + 1) % 200 == 0:
+            rate = agent.step_count / (time.perf_counter() - t0)
+            logger.log(agent.step_count,
+                       train_solve_rate=float(np.mean(done_solved or [0])),
+                       train_final_distance=float(np.mean(done_dists or [0])),
+                       epsilon=agent.epsilon(), env_steps_per_s=rate)
+            done_dists, done_solved = [], []
+    train_s = time.perf_counter() - t0
+
+    # Greedy eval on the vec env itself (fresh episodes, no exploration):
+    # separates "policy didn't learn" from "serial-eval-env mismatch".
+    vstate, vobs = env.reset(seed=4242)
+    vec_dists, vec_solved = [], []
+    while len(vec_dists) < 200:
+        a = agent.act_batch(np.asarray(vobs), greedy=True)
+        vstate, vobs, _, vdone, vinfo = env.step(vstate, agent.shifts[a])
+        d = np.asarray(vdone)
+        if d.any():
+            vec_dists.extend(np.asarray(vinfo["distance"])[d].tolist())
+            vec_solved.extend(
+                np.asarray(vinfo["solved"])[d].astype(np.float32).tolist())
+    vec_eval = {"solve_rate": round(float(np.mean(vec_solved)), 3),
+                "mean_final_distance": round(float(np.mean(vec_dists)), 3),
+                "episodes": len(vec_dists)}
+
+    eval_env = make_env(seed=123)
+    n_eval = 50
+
+    def dqn_policy(o, rng, st):
+        return agent.action_to_shift(agent.act(o, greedy=True)), None
+
+    results = {
+        "dqn": run_policy(eval_env, dqn_policy, n_eval),
+        "random": run_policy(eval_env, random_policy, n_eval),
+        "hillclimb": run_policy(eval_env, hillclimb_policy, n_eval),
+    }
+    summary = {
+        "metric": "dqn_autofocus",
+        "trainer": "vec",
+        "train_env_steps": agent.step_count,
+        "train_gradient_steps": agent.train_count,
+        "batch_envs": batch_envs,
+        "train_s": round(train_s, 1),
+        "env_steps_per_s": round(agent.step_count / train_s, 1),
+        "vec_greedy_eval": vec_eval,
+        "eval_episodes": n_eval,
+        **{f"{k}_{m}": v for k, r in results.items() for m, v in r.items()},
+        "beats_random": results["dqn"]["mean_return"]
+        > results["random"]["mean_return"],
+        "beats_hillclimb": results["dqn"]["mean_return"]
+        > results["hillclimb"]["mean_return"],
+        "beats_random_solve": results["dqn"]["solve_rate"]
+        > results["random"]["solve_rate"],
+        "beats_random_distance": results["dqn"]["mean_final_distance"]
+        < results["random"]["mean_final_distance"],
+    }
+    with open(os.path.join(out_dir, "quality.json"), "w") as f:
+        json.dump({"results": results, **summary}, f, indent=1)
+    # Policy weights for reuse (emx.serve.artifact-style flat npz).
+    import jax
+    flat = {"/".join(map(str, p)): np.asarray(v) for p, v in
+            jax.tree_util.tree_flatten_with_path(agent.params)[0]}
+    np.savez(os.path.join(out_dir, "policy.npz"), **flat)
+    print(json.dumps(summary), flush=True)
+    return summary
+
+
+if __name__ == "__main__":
+    a = sys.argv[1:]
+    main(a[0] if a else "docs/runs/dqn_autofocus",
+         int(a[1]) if len(a) > 1 else 1_500_000,
+         int(a[2]) if len(a) > 2 else 128)

@@ -33,7 +33,8 @@ import numpy as np
 
 
 def main(out_dir: str, steps: int = 20000, batch: int = 8,
-         size: int = 256, scale: float = 0.5) -> dict:
+         size: int = 256, scale: float = 0.5,
+         mse_weight: float = 10.0) -> dict:
     from emx.analysis.inpaint import compare_infills, masked_psnr
     from emx.data.degrade import apply_partial_scan, fixed_scan_mask, \
         infilling_example, norm_neg1to1, sanitize
@@ -64,7 +65,11 @@ def main(out_dir: str, steps: int = 20000, batch: int = 8,
         gen_lr=2e-4, disc_lr=2e-4, log_every=100,
         trainee_switch_skip_n=2, max_num_since_change=32,
         ckpt_every_steps=1000, model_dir=out_dir, seed=0,
-        mse_weight=10.0,  # bounded-budget PSNR anchor (see GANConfig)
+        # Bounded-budget PSNR anchor (see GANConfig). The reference's
+        # quality-bearing term is 7x discriminator-feature matching
+        # (gan-infilling.py:952-956); at a fraction of its 500k-step
+        # budget the pixel term must carry more of the masked-PSNR load.
+        mse_weight=mse_weight,
     )
     mask = fixed_scan_mask((size, size), coverage=1 / 64)
     example_fn = functools.partial(infilling_example, mask=mask)
@@ -124,7 +129,7 @@ def main(out_dir: str, steps: int = 20000, batch: int = 8,
     summary = {
         "metric": "gan_infilling_quality",
         "steps": int(state.step), "batch": batch, "size": size,
-        "scale": scale, "coverage": "1/64",
+        "scale": scale, "coverage": "1/64", "mse_weight": mse_weight,
         "train_step_per_s": round((int(state.step) - start)
                                   / train_s, 3),
         "nn_psnr_masked": round(results["nn"]["psnr_masked"], 3),
@@ -144,4 +149,5 @@ if __name__ == "__main__":
          int(a[1]) if len(a) > 1 else 20000,
          int(a[2]) if len(a) > 2 else 8,
          int(a[3]) if len(a) > 3 else 256,
-         float(a[4]) if len(a) > 4 else 0.5)
+         float(a[4]) if len(a) > 4 else 0.5,
+         float(a[5]) if len(a) > 5 else 10.0)

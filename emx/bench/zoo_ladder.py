@@ -225,7 +225,9 @@ def run_embedder(steps, scale, size, seed=0):
     e = jax.jit(lambda x: model.apply({"params": params}, x,
                                       train=False))(pairs)
     e = e / jnp.maximum(jnp.linalg.norm(e, axis=-1, keepdims=True), 1e-8)
-    sim = np.asarray(e @ e.T)
+    # np.array (copy): np.asarray of a jax array is a read-only view and
+    # fill_diagonal mutates.
+    sim = np.array(e @ e.T)
     np.fill_diagonal(sim, -np.inf)
     nn_idx = sim.argmax(axis=1)
     partner = np.arange(len(nn_idx)) ^ 1  # 2i <-> 2i+1
@@ -297,8 +299,8 @@ def main(out_dir: str = "docs/runs/zoo_ladder", steps: int = 1500,
         with open(path) as f:
             results = json.load(f).get("families", results)
     for name in families or FAMILIES:
-        if name in results:
-            continue
+        if name in results and "error" not in results[name]:
+            continue  # resume: keep completed families, retry errored
         t0 = time.perf_counter()
         try:
             r = FAMILIES[name](steps, scale, size)

@@ -48,6 +48,11 @@ class DQNConfig:
     train_every: int = 1
     warmup: int = 200
     seed: int = 0
+    # Double-DQN targets (argmax by the online net, value by the target
+    # net) — reduces the max-operator over-estimation that makes plain
+    # DQN's greedy policy drift; off by default to keep the serial
+    # trainer's semantics.
+    double: bool = False
 
 
 class ReplayBuffer:
@@ -71,6 +76,17 @@ class ReplayBuffer:
         self.idx = (i + 1) % self.capacity
         self.full = self.full or self.idx == 0
 
+    def add_batch(self, obs, actions, rewards, next_obs, dones):
+        n = len(actions)
+        idxs = (self.idx + np.arange(n)) % self.capacity
+        self.obs[idxs] = obs
+        self.actions[idxs] = actions
+        self.rewards[idxs] = rewards
+        self.next_obs[idxs] = next_obs
+        self.dones[idxs] = dones
+        self.full = self.full or self.idx + n >= self.capacity
+        self.idx = int((self.idx + n) % self.capacity)
+
     def __len__(self):
         return self.capacity if self.full else self.idx
 
@@ -93,6 +109,7 @@ class DQNAgent:
         self.buffer = ReplayBuffer(cfg.buffer_size, obs_shape)
         self.rng = np.random.default_rng(cfg.seed)
         self.step_count = 0
+        self.train_count = 0  # gradient steps (batched path's clock)
         # Discrete action -> z shift.
         self.shifts = np.linspace(-cfg.max_shift, cfg.max_shift, cfg.num_actions)
 
@@ -107,7 +124,13 @@ class DQNAgent:
             def loss_fn(p):
                 q = self.net.apply(p, obs)
                 q_sel = jnp.take_along_axis(q, actions[:, None], axis=1)[:, 0]
-                q_next = jnp.max(self.net.apply(target_params, next_obs), axis=1)
+                q_tgt = self.net.apply(target_params, next_obs)
+                if self.cfg.double:
+                    sel = jnp.argmax(self.net.apply(p, next_obs), axis=1)
+                    q_next = jnp.take_along_axis(
+                        q_tgt, sel[:, None], axis=1)[:, 0]
+                else:
+                    q_next = jnp.max(q_tgt, axis=1)
                 target = rewards + self.cfg.gamma * (1.0 - dones) * q_next
                 return jnp.mean((q_sel - jax.lax.stop_gradient(target)) ** 2)
 
@@ -128,6 +151,42 @@ class DQNAgent:
             return int(self.rng.integers(self.cfg.num_actions))
         q = self._q_values(self.params, jnp.asarray(obs)[None])
         return int(jnp.argmax(q[0]))
+
+    def act_batch(self, obs, greedy: bool = False) -> np.ndarray:
+        """Epsilon-greedy actions for a batch of observations (one jitted
+        Q evaluation for all B lanes — the VecFresnelEnv fast path)."""
+        q = np.asarray(self._q_values(self.params, jnp.asarray(obs)))
+        a = np.argmax(q, axis=1).astype(np.int32)
+        if not greedy:
+            explore = self.rng.random(len(a)) < self.epsilon()
+            a = np.where(explore,
+                         self.rng.integers(0, self.cfg.num_actions, len(a)),
+                         a).astype(np.int32)
+        return a
+
+    def observe_batch(self, obs, actions, rewards, next_obs, dones,
+                      train_steps: int = 1) -> float | None:
+        """Store B transitions, advance the step count by B, and run
+        `train_steps` gradient steps (each on a fresh replay sample)."""
+        c = self.cfg
+        self.buffer.add_batch(np.asarray(obs), np.asarray(actions),
+                              np.asarray(rewards), np.asarray(next_obs),
+                              np.asarray(dones, np.float32))
+        self.step_count += len(actions)
+        loss = None
+        if len(self.buffer) >= c.warmup:
+            for _ in range(train_steps):
+                batch = self.buffer.sample(self.rng, c.batch_size)
+                self.params, self.opt_state, loss_arr = self._train_step(
+                    self.params, self.target_params, self.opt_state,
+                    tuple(jnp.asarray(b) for b in batch))
+                # Batched path clocks the target net in gradient steps
+                # (env steps arrive B at a time, too coarse a unit).
+                self.train_count += 1
+                if self.train_count % c.target_update_every == 0:
+                    self.target_params = self.params
+            loss = float(loss_arr)
+        return loss
 
     def observe(self, obs, action, reward, next_obs, done) -> float | None:
         c = self.cfg

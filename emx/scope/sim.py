@@ -25,6 +25,42 @@ import numpy as np
 from emx.scope.protocol import Instruction, decode_program
 
 
+def disc_specimen(n: int, size: int, seed: int = 0, n_disc: int | None = None,
+                  soft: float = 0.7, background: float = 0.3) -> np.ndarray:
+    """Phase maps with sharp-edged discs (holey-film apertures /
+    particles) on a smooth background.
+
+    The autofocus metric — kurtosis of the Laplacian, minimised at focus
+    (reference em_env/fresnel_env.py:163-208) — needs sharp phase edges:
+    their defocus ringing produces the heavy-tailed Laplacian the metric
+    detects, giving a deep global minimum exactly at focus. Smooth
+    specimens invert the metric (shot noise dominates the kurtosis AT
+    focus), which made scan-estimated targets land on CTF-oscillation
+    dips ~1.5 z-units off — measured in docs/runs/dqn_autofocus notes.
+    """
+    rng = np.random.default_rng(seed)
+    if n_disc is None:
+        n_disc = max(2, (size * size) // 384)
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
+    out = np.empty((n, size, size), np.float32)
+    for i in range(n):
+        img = np.zeros((size, size), np.float32)
+        if background > 0:
+            f = rng.uniform(1.0, 3.0, 2)
+            ph = rng.uniform(0, 2 * np.pi, 2)
+            img += background * (
+                0.5 + 0.25 * np.sin(2 * np.pi * f[0] * xx / size + ph[0])
+                + 0.25 * np.sin(2 * np.pi * f[1] * yy / size + ph[1]))
+        for _ in range(n_disc):
+            cy, cx = rng.uniform(0, size, 2)
+            r = rng.uniform(3.0, 9.0)
+            d = np.sqrt((yy - cy) ** 2 + (xx - cx) ** 2)
+            img += 1.0 / (1.0 + np.exp((d - r) / soft))
+        lo, hi = img.min(), img.max()
+        out[i] = (img - lo) / (hi - lo) if hi > lo else 0.5
+    return out
+
+
 class SimulatedMicroscope:
     def __init__(
         self,
@@ -50,10 +86,10 @@ class SimulatedMicroscope:
         self.wavelength = wavelength
         self.terminated = False
         if specimen is None:
-            from emx.data.pipeline import synthetic_micrographs
-
-            # Large specimen; the stage pans a window over it.
-            self.specimen = synthetic_micrographs(1, 4 * image_size, seed=seed)[0]
+            # Large specimen; the stage pans a window over it. Sharp disc
+            # features keep the focus metric well-posed (see
+            # disc_specimen's docstring).
+            self.specimen = disc_specimen(1, 4 * image_size, seed=seed)[0]
         else:
             self.specimen = np.asarray(specimen, np.float32)
 

@@ -90,6 +90,10 @@ def load_denoiser_artifact(path: str, with_quant: bool = False):
         cfg_d[k] = tuple(cfg_d[k])
     # np.dtype resolves 'bfloat16' through jax's ml_dtypes registration.
     cfg_d["dtype"] = np.dtype(cfg_d["dtype"]).type
+    # remat is a training-memory knob; a serving graph must not carry it
+    # (and flax remat breaks the quantization calibration interceptor).
+    # Param paths are identical either way (emx/nn/denoiser.py:248).
+    cfg_d["remat_middle"] = False
     config = DenoiserConfig(**cfg_d)
     variables = {"params": _unflatten(flat)}
     if with_quant:

@@ -91,25 +91,30 @@ struct SimCamera {
     specimen.resize(size_t(spec_n) * spec_n);
     std::mt19937_64 srng(seed * 7919 + 13);
     std::uniform_real_distribution<float> uni(0.0f, 1.0f);
-    // Smooth background + Gaussian particles + lattice fringes —
-    // mirrors emx/data/pipeline.py synthetic_micrographs.
-    float f1 = 1.0f + 3.0f * uni(srng), ph1 = uni(srng);
-    struct Blob { float cy, cx, s, a; };
-    std::vector<Blob> blobs;
-    for (int b = 0; b < 24; b++)
-      blobs.push_back({0.1f + 0.8f * uni(srng), 0.1f + 0.8f * uni(srng),
-                       0.02f + 0.1f * uni(srng), 0.2f + 0.4f * uni(srng)});
-    float lf = 20.0f + 40.0f * uni(srng), la = uni(srng) * float(M_PI);
+    // Smooth background + sharp-edged sigmoid discs — mirrors
+    // emx/scope/sim.py disc_specimen: the sharp phase edges make the
+    // kurtosis-of-Laplacian focus metric well-posed (deep minimum at
+    // focus); smooth-only specimens invert it.
+    float f1 = 1.0f + 2.0f * uni(srng), ph1 = 2 * float(M_PI) * uni(srng);
+    float f2 = 1.0f + 2.0f * uni(srng), ph2 = 2 * float(M_PI) * uni(srng);
+    struct Disc { float cy, cx, r; };
+    std::vector<Disc> discs;
+    int n_disc = std::max(2, spec_n * spec_n / 384);
+    for (int b = 0; b < n_disc; b++)
+      discs.push_back({spec_n * uni(srng), spec_n * uni(srng),
+                       3.0f + 6.0f * uni(srng)});
+    const float soft = 0.7f, background = 0.3f;
     for (int r = 0; r < spec_n; r++) {
       for (int c = 0; c < spec_n; c++) {
-        float yy = float(r) / spec_n, xx = float(c) / spec_n;
-        float v = 0.3f + 0.2f * std::sin(2 * float(M_PI) * (f1 * xx + ph1));
-        for (const Blob& b : blobs) {
-          float d2 = (yy - b.cy) * (yy - b.cy) + (xx - b.cx) * (xx - b.cx);
-          v += b.a * std::exp(-d2 / (2 * b.s * b.s));
+        float yy = float(r), xx = float(c);
+        float v = background *
+                  (0.5f + 0.25f * std::sin(2 * float(M_PI) * f1 * xx / spec_n + ph1)
+                        + 0.25f * std::sin(2 * float(M_PI) * f2 * yy / spec_n + ph2));
+        for (const Disc& d : discs) {
+          float dist = std::sqrt((yy - d.cy) * (yy - d.cy) +
+                                 (xx - d.cx) * (xx - d.cx));
+          v += 1.0f / (1.0f + std::exp((dist - d.r) / soft));
         }
-        v += 0.08f * std::sin(2 * float(M_PI) * lf *
-                              (std::cos(la) * xx + std::sin(la) * yy));
         specimen[size_t(r) * spec_n + c] = v;
       }
     }
