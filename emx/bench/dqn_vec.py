@@ -29,7 +29,8 @@ import numpy as np
 
 def main(out_dir: str = "docs/runs/dqn_autofocus",
          total_steps: int = 1_500_000, batch_envs: int = 128,
-         train_steps_per_iter: int = 2, cpu: bool = True) -> dict:
+         train_steps_per_iter: int = 2, cpu: bool = True,
+         policy_npz: str | None = None) -> dict:
     if cpu:
         # The sim + Q-net are small; per-iter tunnel latency on the axon
         # TPU path dwarfs the compute, and the chip belongs to the
@@ -58,6 +59,16 @@ def main(out_dir: str = "docs/runs/dqn_autofocus",
                     batch_size=256, double=True, seed=0)
     agent = DQNAgent((vcfg.image_size, vcfg.image_size, 3), cfg)
     logger = MetricsLogger(out_dir)
+
+    if policy_npz:  # evaluate an already-trained policy (skip training)
+        import jax as _jax
+
+        flat = dict(np.load(policy_npz))
+        leaves, treedef = _jax.tree_util.tree_flatten_with_path(agent.params)
+        agent.params = _jax.tree_util.tree_unflatten(
+            treedef, [np.asarray(flat["/".join(map(str, p))])
+                      for p, _ in leaves])
+        total_steps = 0
 
     state, obs = env.reset(seed=0)
     obs = np.asarray(obs)
@@ -112,14 +123,19 @@ def main(out_dir: str = "docs/runs/dqn_autofocus",
     def dqn_policy(o, rng, st):
         return agent.action_to_shift(agent.act(o, greedy=True)), None
 
+    # true_z=0.0: make_env's SimulatedMicroscope has optimal_z=0, so the
+    # scan-estimate-based env scoring can be reported alongside the
+    # ground-truth focusing error.
     results = {
-        "dqn": run_policy(eval_env, dqn_policy, n_eval),
-        "random": run_policy(eval_env, random_policy, n_eval),
-        "hillclimb": run_policy(eval_env, hillclimb_policy, n_eval),
+        "dqn": run_policy(eval_env, dqn_policy, n_eval, true_z=0.0),
+        "random": run_policy(eval_env, random_policy, n_eval, true_z=0.0),
+        "hillclimb": run_policy(eval_env, hillclimb_policy, n_eval,
+                                true_z=0.0),
     }
     summary = {
         "metric": "dqn_autofocus",
         "trainer": "vec",
+        "policy_npz": policy_npz,
         "train_env_steps": agent.step_count,
         "train_gradient_steps": agent.train_count,
         "batch_envs": batch_envs,
@@ -136,6 +152,12 @@ def main(out_dir: str = "docs/runs/dqn_autofocus",
         > results["random"]["solve_rate"],
         "beats_random_distance": results["dqn"]["mean_final_distance"]
         < results["random"]["mean_final_distance"],
+        "beats_random_true_distance":
+            results["dqn"]["mean_final_true_distance"]
+            < results["random"]["mean_final_true_distance"],
+        "beats_hillclimb_true_distance":
+            results["dqn"]["mean_final_true_distance"]
+            < results["hillclimb"]["mean_final_true_distance"],
     }
     with open(os.path.join(out_dir, "quality.json"), "w") as f:
         json.dump({"results": results, **summary}, f, indent=1)
@@ -152,4 +174,5 @@ if __name__ == "__main__":
     a = sys.argv[1:]
     main(a[0] if a else "docs/runs/dqn_autofocus",
          int(a[1]) if len(a) > 1 else 1_500_000,
-         int(a[2]) if len(a) > 2 else 128)
+         int(a[2]) if len(a) > 2 else 128,
+         policy_npz=a[3] if len(a) > 3 else None)

@@ -80,10 +80,30 @@ class FresnelEnv:
         proximity: float = 0.1,
         max_episode_steps: int = 32,
         seed: int = 0,
+        scan_halfwidth: float | None = None,
+        rehome: bool = True,
     ):
         self.client = client
         self.max_shift = max_shift
         self.max_z_dist = max_z_dist
+        # The kurtosis-of-Laplacian metric has a narrow minimum basin:
+        # it peaks just off focus and DECAYS again at large defocus
+        # (fringes wash out), so shot noise in the far tails can fall
+        # below the in-focus minimum. Scanning the reference's full
+        # +-max_z_dist window (fresnel_env.py:188-208) therefore lands
+        # the spline argmin on a tail point a few z-units off often
+        # enough to make proximity-judged evaluation unwinnable by any
+        # policy. `scan_halfwidth` restricts the SCAN (not the episode
+        # start range) to the metric's monotone basin.
+        self.scan_halfwidth = (max_z_dist if scan_halfwidth is None
+                               else scan_halfwidth)
+        # Park the stage at the last scan-estimated focus before each
+        # new field's scan (what an operator does between fields);
+        # without it, one failed episode strands z outside the scan
+        # window of the next reset and the target estimate drifts
+        # unboundedly episode-over-episode.
+        self.rehome = rehome
+        self._home_z = 0.0
         self.z_scan_points = z_scan_points
         self.x_bounds = x_bounds
         self.y_bounds = y_bounds
@@ -103,7 +123,7 @@ class FresnelEnv:
     # -- optimal-z estimation (fresnel_env.py:188-208) ----------------------
     def find_optimal_z(self) -> float:
         z0 = self.z
-        zs = np.linspace(z0 - self.max_z_dist, z0 + self.max_z_dist,
+        zs = np.linspace(z0 - self.scan_halfwidth, z0 + self.scan_halfwidth,
                          self.z_scan_points)
         ks = np.empty_like(zs)
         for i, z in enumerate(zs):
@@ -120,7 +140,11 @@ class FresnelEnv:
         new_x = self.rng.uniform(*self.x_bounds)
         new_y = self.rng.uniform(*self.y_bounds)
         self.client.move_stage_abs(x=new_x, y=new_y)
+        if self.rehome:
+            self.client.move_stage_abs(z=float(self._home_z))
+            self.z = float(self._home_z)
         self.target_z = self.find_optimal_z()
+        self._home_z = self.target_z
         # Random starting offset from the optimum.
         start = self.target_z + self.rng.uniform(0.3, 1.0) * self.max_z_dist * (
             1 if self.rng.random() > 0.5 else -1

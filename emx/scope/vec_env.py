@@ -50,6 +50,15 @@ class VecFresnelConfig:
     phase_strength: float = 1.0
     dose: float = 2000.0
     specimen_seed: int = 0
+    # Build the pool from windows panned over large globally-normalised
+    # specimen maps — the exact observation distribution of the serial
+    # SimulatedMicroscope (sim.py _window pans a 4x map): window phase
+    # values span less than [0,1], backgrounds are near-flat within a
+    # window, discs get clipped at window edges. Training on per-crop
+    # normalised independent specimens instead leaves the policy
+    # saturating on ~25% of serial eval episodes (out-of-distribution
+    # contrast statistics).
+    windowed_pool: bool = True
 
 
 class VecFresnelEnv:
@@ -64,8 +73,22 @@ class VecFresnelEnv:
         from emx.scope.sim import disc_specimen
 
         self.cfg = cfg
-        pool = disc_specimen(cfg.num_specimens, cfg.image_size,
-                             seed=cfg.specimen_seed)
+        if cfg.windowed_pool:
+            rng = np.random.default_rng(cfg.specimen_seed)
+            big_n = max(1, cfg.num_specimens // 32)
+            big_side = 4 * cfg.image_size
+            big = disc_specimen(big_n, big_side, seed=cfg.specimen_seed)
+            hi = big_side - cfg.image_size
+            pool = np.empty(
+                (cfg.num_specimens, cfg.image_size, cfg.image_size),
+                np.float32)
+            for i in range(cfg.num_specimens):
+                b = big[rng.integers(0, big_n)]
+                cy, cx = rng.integers(0, hi, 2)
+                pool[i] = b[cy:cy + cfg.image_size, cx:cx + cfg.image_size]
+        else:
+            pool = disc_specimen(cfg.num_specimens, cfg.image_size,
+                                 seed=cfg.specimen_seed)
         self._pool = jnp.asarray(pool, jnp.float32)
         self._step = jax.jit(self._step_impl)
         self._reset = jax.jit(self._reset_impl)
