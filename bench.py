@@ -56,11 +56,16 @@ def main() -> None:
     # served graph — config AND weights — closing the "benched graph =
     # served graph" provenance (VERDICT r2 weak #7). Default: the
     # checked-in trained flagship artifact, if present.
-    artifact = os.environ.get(
-        "EMX_BENCH_ARTIFACT",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "docs", "runs", "flagship", "artifact.npz"),
-    )
+    # Default artifact: the int8-promoted bundle when quant_check has
+    # written one (it only exists if its val-ladder PSNR cleared the
+    # classical-filter gate AND it out-ran the float graph), else the
+    # float flagship bundle.
+    _flagship = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "docs", "runs", "flagship")
+    _default = os.path.join(_flagship, "artifact_int8.npz")
+    if not os.path.exists(_default):
+        _default = os.path.join(_flagship, "artifact.npz")
+    artifact = os.environ.get("EMX_BENCH_ARTIFACT", _default)
     quant = None
     if artifact and os.path.exists(artifact):
         from emx.serve.artifact import load_denoiser_artifact
@@ -92,6 +97,11 @@ def main() -> None:
         lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p,
         variables,
     )
+    # Device-resident ONCE: numpy-backed weights passed as jit args are
+    # re-uploaded through the tunnel on EVERY launch (~20% of wall-clock
+    # at chain 64); device_put makes later launches zero-copy.
+    variables = jax.device_put(variables)
+    jax.block_until_ready(variables)
 
     # Chain `chain` forward passes on-device inside ONE program (lax.scan)
     # so per-launch host/tunnel latency is amortised, and force a host
@@ -107,7 +117,8 @@ def main() -> None:
 
         def apply_fn(v, x):
             return quantized_apply(model, v, quant["amax"],
-                                   mode=quant["mode"])(x)
+                                   mode=quant["mode"],
+                                   skip=quant.get("skip", ()))(x)
     else:
         def apply_fn(v, x):
             return model.apply(v, x, train=False)
@@ -187,8 +198,10 @@ def main() -> None:
             "folded_head": cfg.folded_head}
         if quant is not None:
             extras["quant"] = {k: v for k, v in quant.items()
-                               if k != "amax"} | {
-                "n_quantized_convs": len(quant["amax"])}
+                               if k not in ("amax", "skip")} | {
+                "n_quantized_convs": (len(quant["amax"])
+                                      - len(quant.get("skip", ()))),
+                "n_skipped_convs": len(quant.get("skip", ()))}
         # The coupled quality evidence for the measured graph: the
         # training run's val-ladder PSNR vs the classical-filter bar
         # (quality.json is written next to the artifact by quality_run).

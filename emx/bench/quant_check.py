@@ -95,19 +95,59 @@ def main(artifact: str, out_dir: str = "docs/runs/quant_r3",
         return model.apply(variables, x, train=False)
 
     # Calibrate on a slice of the ladder inputs (the served regime).
+    # Per-input-channel ranges: the folded graph bakes BN affines into
+    # the convs, so channel dynamic ranges vary wildly and a per-tensor
+    # scale wastes the 8-bit grid (emx/serve/quantize.py docstring).
     amax = calibrate(model, variables, [noisy[:8]])
 
     out: dict = {"metric": "quant_check", "artifact": artifact,
                  "float_psnr": _psnr(float_fn(noisy), clean)}
     fns = {"float": float_fn}
+    skips: dict[str, tuple] = {}
     for mode in ("store", "mxu"):
         try:
             fn = jax.jit(quantized_apply(model, variables, amax,
                                          mode=mode))
             out[f"{mode}_psnr"] = _psnr(fn(noisy), clean)
             fns[mode] = fn
+            skips[mode] = ()
         except Exception as e:
             out[f"{mode}_error"] = str(e)[:200]
+
+    # Sensitivity-guided repair: if a mode misses the gate, rank conv
+    # GROUPS (top-level module prefix) by the PSNR damage of quantizing
+    # that group alone, then skip the most damaging groups until the
+    # gate passes. The skip list ships inside the promoted bundle so
+    # bench serves exactly the checked configuration.
+    if psnr_gate is not None:
+        groups = sorted({p.split("/")[0] for p in amax})
+        for mode in ("mxu", "store"):
+            if mode not in fns or out[f"{mode}_psnr"] >= psnr_gate:
+                continue
+            damage = {}
+            for g in groups:
+                only_g = [p for p in amax if not p.startswith(g + "/")
+                          and p != g]
+                fn_g = jax.jit(quantized_apply(model, variables, amax,
+                                               mode=mode, skip=only_g))
+                damage[g] = out["float_psnr"] - _psnr(fn_g(noisy), clean)
+            out[f"{mode}_group_damage"] = {
+                g: round(d, 3) for g, d in sorted(
+                    damage.items(), key=lambda kv: -kv[1])}
+            skip: list[str] = []
+            for g, d in sorted(damage.items(), key=lambda kv: -kv[1]):
+                skip += [p for p in amax
+                         if p.startswith(g + "/") or p == g]
+                fn_s = jax.jit(quantized_apply(model, variables, amax,
+                                               mode=mode, skip=skip))
+                p_s = _psnr(fn_s(noisy), clean)
+                if p_s >= psnr_gate:
+                    out[f"{mode}_psnr"] = p_s
+                    out[f"{mode}_skip_groups"] = sorted(
+                        {s.split('/')[0] for s in skip})
+                    fns[mode] = fn_s
+                    skips[mode] = tuple(skip)
+                    break
     if throughput:
         for name, fn in fns.items():
             try:
@@ -136,6 +176,7 @@ def main(artifact: str, out_dir: str = "docs/runs/quant_r3",
                                 "artifact_int8.npz")
             save_denoiser_artifact(dest, cfg, variables, quant={
                 "mode": best, "amax": amax,
+                "skip": list(skips.get(best, ())),
                 "psnr": out[f"{best}_psnr"],
                 "float_psnr": out["float_psnr"],
                 "psnr_gate": psnr_gate,

@@ -70,8 +70,10 @@ def save_denoiser_artifact(path: str, config, variables: dict,
     extra = {_CFG_KEY: np.frombuffer(cfg_json.encode(), dtype=np.uint8)}
     if quant is not None:
         assert quant.get("mode") in ("store", "mxu") and "amax" in quant
+        # amax values may be per-input-channel arrays; JSON them as lists.
         extra[_QUANT_KEY] = np.frombuffer(
-            json.dumps(quant).encode(), dtype=np.uint8)
+            json.dumps(quant, default=lambda a: np.asarray(a).tolist())
+            .encode(), dtype=np.uint8)
     np.savez(path, **flat, **extra)
 
 
@@ -84,10 +86,19 @@ def load_denoiser_artifact(path: str, with_quant: bool = False):
         cfg_d: dict[str, Any] = json.loads(bytes(z[_CFG_KEY]).decode())
         quant = (json.loads(bytes(z[_QUANT_KEY]).decode())
                  if _QUANT_KEY in z.files else None)
+        if quant is not None:
+            quant["amax"] = {
+                k: (np.asarray(v, dtype=np.float32)
+                    if isinstance(v, list) else v)
+                for k, v in quant["amax"].items()}
         flat = {k: z[k] for k in z.files
                 if k not in (_CFG_KEY, _QUANT_KEY)}
-    for k in ("features", "aspp_rates"):
-        cfg_d[k] = tuple(cfg_d[k])
+    # JSON round-trips tuples as lists; restore every tuple-typed field
+    # (matched by the dataclass default's type, so new fields keep working).
+    for f in dataclasses.fields(DenoiserConfig):
+        if (f.name in cfg_d and isinstance(cfg_d[f.name], list)
+                and isinstance(getattr(DenoiserConfig(), f.name), tuple)):
+            cfg_d[f.name] = tuple(cfg_d[f.name])
     # np.dtype resolves 'bfloat16' through jax's ml_dtypes registration.
     cfg_d["dtype"] = np.dtype(cfg_d["dtype"]).type
     # remat is a training-memory knob; a serving graph must not carry it

@@ -7,32 +7,40 @@ bf16, and the v5e MXU runs int8 matmuls at 2x bf16 peak. This module
 implements static post-training quantization WITHOUT touching model
 code, via flax method interception:
 
-  * `calibrate(model, variables, batches)` — records the absolute max
-    of every nn.Conv input (per conv, in trace order) over a
-    calibration set.
+  * `calibrate(model, variables, batches)` — records per-conv,
+    per-INPUT-CHANNEL absolute maxima (optionally a high quantile) of
+    every nn.Conv input, in trace order, over a calibration set.
+    Per-channel scales matter here: the folded (norm-free) deployment
+    graph bakes the BatchNorm affines into the convs, so channel
+    dynamic ranges differ by orders of magnitude and one per-tensor
+    scale wastes most of the 8-bit grid on the widest channel.
   * `quantized_apply(model, variables, amax, mode)` — returns an
     apply_fn where every nn.Conv runs as
       mode='store': int8 round-trip on the INPUT (x -> q8 -> dq) so the
         HBM-resident tensor at the fusion boundary is int8; compute
         stays bf16. Conservative, no MXU int8 dependency.
-      mode='mxu': int8 x int8 -> int32 `lax.conv_general_dilated`
-        (per-output-channel weight scales, per-tensor input scale),
-        rescale + bias in f32. Uses the MXU int8 path.
+      mode='mxu': int8 x int8 -> int32 `lax.conv_general_dilated`.
+        Per-input-channel activation scales are folded INTO the weight
+        before weight quantization (y = sum_c (W_oc * s_c) x_qc), so
+        the integer conv itself stays a plain s8xs8->s32 op; rescale by
+        the per-output-channel weight scale + bias in f32.
 
 ConvTranspose layers (2 in the denoiser) and non-conv ops stay in the
-model dtype. Quantization error is checked against the f32 artifact on
-the val ladder before a quantized graph can become the benched one
-(emx.bench.quant_check).
+model dtype. `skip` exempts named convs (sensitivity-ranked by
+emx.bench.quant_check) so the quality-critical stem/head can stay
+float while the bulk of the network runs int8. Quantization error is
+checked against the f32 artifact on the val ladder before a quantized
+graph can become the benched one (emx.bench.quant_check).
 """
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Callable
+from typing import Any, Callable, Iterable
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _conv_path(context) -> str:
@@ -44,15 +52,31 @@ def _is_conv(context) -> bool:
             and context.method_name == "__call__")
 
 
-def calibrate(model, variables, batches, train: bool = False):
-    """Run `batches` through the model recording per-conv input amax.
-    Returns {conv_path: float}. One jitted pass per batch."""
+def calibrate(model, variables, batches, train: bool = False,
+              per_channel: bool = True, quantile: float | None = None):
+    """Run `batches` through the model recording per-conv input ranges.
+
+    Returns {conv_path: np.ndarray of shape (C_in,)} when `per_channel`
+    (the default), else {conv_path: float}. `quantile` (e.g. 0.9995)
+    clips the range at that quantile of |x| instead of the absolute
+    max — trades saturation of rare outliers for a finer grid.
+    One jitted pass per batch."""
     records: dict[str, Any] = {}
+
+    def _range(x):
+        ax = jnp.abs(x.astype(jnp.float32))
+        flat = ax.reshape(-1, ax.shape[-1]) if per_channel \
+            else ax.reshape(-1, 1)
+        if quantile is not None:
+            r = jnp.quantile(flat, quantile, axis=0)
+        else:
+            r = jnp.max(flat, axis=0)
+        return r if per_channel else r[0]
 
     def interceptor(next_fun, args, kwargs, context):
         if _is_conv(context):
             p = _conv_path(context)
-            m = jnp.max(jnp.abs(args[0].astype(jnp.float32)))
+            m = _range(args[0])
             records[p] = jnp.maximum(records[p], m) if p in records else m
         return next_fun(*args, **kwargs)
 
@@ -63,22 +87,23 @@ def calibrate(model, variables, batches, train: bool = False):
             out = model.apply(variables, batch, train=train)
         return out, dict(records)
 
-    amax: dict[str, float] = {}
+    amax: dict[str, Any] = {}
     for b in batches:
         _, rec = run(b)
         for k, v in rec.items():
-            amax[k] = max(amax.get(k, 0.0), float(v))
-    return amax
+            v = np.asarray(v)
+            amax[k] = np.maximum(amax.get(k, 0.0), v)
+    return {k: (v if v.ndim else float(v)) for k, v in amax.items()}
 
 
-def _quant_tensor(x, scale):
-    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
-    return q.astype(jnp.int8)
+def _scale_of(a):
+    """amax entry (float | list | ndarray) -> jnp scale(s), >0-guarded."""
+    s = jnp.asarray(np.asarray(a, dtype=np.float32) / 127.0)
+    return jnp.maximum(s, 1e-12)
 
 
 def _manual_conv(mod: nn.Conv, x, kernel, bias, compute_dtype):
     """Replicate nn.Conv's lowering so we control operand dtypes."""
-    kh, kw = mod.kernel_size
     strides = mod.strides if isinstance(mod.strides, tuple) \
         else (mod.strides, mod.strides)
     dil = mod.kernel_dilation if isinstance(mod.kernel_dilation, tuple) \
@@ -103,22 +128,28 @@ def _manual_conv(mod: nn.Conv, x, kernel, bias, compute_dtype):
     return out
 
 
-def quantized_apply(model, variables, amax: dict[str, float],
-                    mode: str = "store") -> Callable:
+def quantized_apply(model, variables, amax: dict[str, Any],
+                    mode: str = "store",
+                    skip: Iterable[str] = ()) -> Callable:
     """Build an apply_fn with every nn.Conv quantized. `amax` comes from
-    `calibrate` (missing entries leave that conv untouched)."""
+    `calibrate` (missing entries and `skip` members leave that conv
+    untouched). amax values may be per-tensor floats or per-input-
+    channel arrays — per-channel scales are folded into the weights on
+    the mxu path so the integer conv stays plain s8xs8->s32."""
     assert mode in ("store", "mxu")
+    skip = set(skip)
 
     def interceptor(next_fun, args, kwargs, context):
         if not _is_conv(context):
             return next_fun(*args, **kwargs)
         p = _conv_path(context)
-        if p not in amax or amax[p] <= 0:
+        if p not in amax or p in skip or np.all(np.asarray(amax[p]) <= 0):
             return next_fun(*args, **kwargs)
         mod: nn.Conv = context.module
         x = args[0]
-        x_scale = jnp.float32(amax[p] / 127.0)
-        xq = _quant_tensor(x, x_scale)
+        x_scale = _scale_of(amax[p])  # () or (C_in,)
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / x_scale),
+                      -127, 127).astype(jnp.int8)
         if mode == "store" or (mode == "mxu"
                                and mod.feature_group_count != 1):
             # Grouped (depthwise) int8 convs don't hit the MXU int8
@@ -128,13 +159,16 @@ def quantized_apply(model, variables, amax: dict[str, float],
             return next_fun(xdq, *args[1:], **kwargs)
         kernel = mod.variables["params"]["kernel"]
         bias = mod.variables["params"].get("bias")
-        # Per-output-channel symmetric weight scales.
-        kf = kernel.astype(jnp.float32)
+        # Fold the (per-input-channel) activation scale into the weight,
+        # then per-output-channel symmetric weight scales:
+        #   y = sum_c W[...,c,o]*(s_c*xq_c) = conv(xq, W*s_c) —
+        # the int32 accumulator needs only the per-o rescale after.
+        kf = kernel.astype(jnp.float32) * x_scale.reshape(1, 1, -1, 1)
         w_amax = jnp.max(jnp.abs(kf), axis=(0, 1, 2), keepdims=True)
         w_scale = jnp.maximum(w_amax / 127.0, 1e-12)
         kq = jnp.clip(jnp.round(kf / w_scale), -127, 127).astype(jnp.int8)
         acc = _manual_conv(mod, xq, kq, None, jnp.int32)
-        out = acc.astype(jnp.float32) * (x_scale * w_scale.reshape(-1))
+        out = acc.astype(jnp.float32) * w_scale.reshape(-1)
         if bias is not None:
             out = out + bias.astype(jnp.float32)
         return out.astype(x.dtype)

@@ -13,6 +13,10 @@ import json
 import os
 import sys
 
+# Script-path execution puts tests/ (not the repo root) on sys.path;
+# the repo is not pip-installed, so add the root explicitly.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def main() -> None:
     n_proc = int(sys.argv[1])

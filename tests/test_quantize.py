@@ -30,7 +30,28 @@ def test_calibrate_records_every_conv():
         if getattr(p[0][-1], "key", "") == "kernel"
         and "ConvTranspose" not in str(p[0]))
     assert len(amax) == n_convs
-    assert all(v > 0 for v in amax.values())
+    # Per-channel by default: each entry spans that conv's input width.
+    assert all(np.asarray(v).ndim == 1 and np.all(np.asarray(v) >= 0)
+               and np.max(v) > 0 for v in amax.values())
+
+
+def test_calibrate_per_tensor_and_quantile():
+    model, variables, x = _model_and_vars()
+    amax_t = calibrate(model, variables, [x], per_channel=False)
+    assert all(np.isscalar(v) and v > 0 for v in amax_t.values())
+    amax_q = calibrate(model, variables, [x], quantile=0.99)
+    amax_m = calibrate(model, variables, [x])
+    for k in amax_m:
+        assert np.all(np.asarray(amax_q[k]) <= np.asarray(amax_m[k]) + 1e-6)
+
+
+def test_skip_leaves_conv_float():
+    model, variables, x = _model_and_vars()
+    amax = calibrate(model, variables, [x])
+    ref = np.asarray(model.apply(variables, x, train=False))
+    got = np.asarray(quantized_apply(model, variables, amax, "mxu",
+                                     skip=list(amax))(x))
+    np.testing.assert_allclose(got, ref, atol=1e-6)
 
 
 def test_quant_promoted_artifact_roundtrip(tmp_path):
