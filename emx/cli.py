@@ -258,6 +258,18 @@ def quant_check(argv):
         a[1] if len(a) > 1 else "runs/quant_check")
 
 
+def qat_finetune(argv):
+    """Quantization-aware finetune of a deployment artifact
+    (emx.bench.qat_finetune)."""
+    from emx.bench.qat_finetune import main as run
+
+    a = [x for x in argv if not x.startswith("-")]
+    run(a[0] if a else "docs/runs/flagship/artifact.npz",
+        a[1] if len(a) > 1 else "runs/qat",
+        int(a[2]) if len(a) > 2 else 3000,
+        psnr_gate=float(a[3]) if len(a) > 3 else None)
+
+
 COMMANDS = {
     "train-denoiser": train_denoiser,
     "train-infilling": train_infilling,
@@ -271,6 +283,7 @@ COMMANDS = {
     "zoo-ladder": zoo_ladder,
     "dqn-autofocus": dqn_autofocus,
     "quant-check": quant_check,
+    "qat-finetune": qat_finetune,
 }
 
 

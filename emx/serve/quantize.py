@@ -178,3 +178,54 @@ def quantized_apply(model, variables, amax: dict[str, Any],
             return model.apply(variables, x, train=train)
 
     return apply_fn
+
+
+def _ste(x, scale):
+    """Fake-quantize with a straight-through gradient: forward is the
+    int8 grid round-trip, backward is identity (round has zero grad)."""
+    q = jnp.clip(jnp.round(x / scale), -127, 127) * scale
+    return x + jax.lax.stop_gradient(q - x)
+
+
+def fake_quant_apply(model, amax: dict[str, Any], mode: str = "mxu",
+                     skip: Iterable[str] = ()) -> Callable:
+    """Differentiable twin of `quantized_apply` for quantization-aware
+    finetuning: every nn.Conv sees fake-quantized (STE) inputs — and, in
+    mxu mode, fake-quantized weights matching the deployment grid
+    (activation scales folded in, per-output-channel weight scales) —
+    so gradients steer the float params toward int8-robust minima.
+    Returns fn(variables, x, train=False); `amax` stays fixed (static
+    calibration, re-run `calibrate` after finetuning for serving)."""
+    assert mode in ("store", "mxu")
+    skip = set(skip)
+
+    def interceptor(next_fun, args, kwargs, context):
+        if not _is_conv(context):
+            return next_fun(*args, **kwargs)
+        p = _conv_path(context)
+        if p not in amax or p in skip or np.all(np.asarray(amax[p]) <= 0):
+            return next_fun(*args, **kwargs)
+        mod: nn.Conv = context.module
+        x = args[0]
+        x_scale = _scale_of(amax[p]).astype(jnp.float32)
+        x_fq = _ste(x.astype(jnp.float32), x_scale)
+        if mode == "store" or (mode == "mxu"
+                               and mod.feature_group_count != 1):
+            return next_fun(x_fq.astype(x.dtype), *args[1:], **kwargs)
+        kernel = mod.variables["params"]["kernel"]
+        bias = mod.variables["params"].get("bias")
+        kf = kernel.astype(jnp.float32) * x_scale.reshape(1, 1, -1, 1)
+        w_amax = jnp.max(jnp.abs(jax.lax.stop_gradient(kf)),
+                         axis=(0, 1, 2), keepdims=True)
+        w_scale = jnp.maximum(w_amax / 127.0, 1e-12)
+        k_fq = _ste(kf, w_scale) / x_scale.reshape(1, 1, -1, 1)
+        out = _manual_conv(mod, x_fq, k_fq, None, jnp.float32)
+        if bias is not None:
+            out = out + bias.astype(jnp.float32)
+        return out.astype(x.dtype)
+
+    def apply_fn(variables, x, train: bool = False):
+        with nn.intercept_methods(interceptor):
+            return model.apply(variables, x, train=train)
+
+    return apply_fn

@@ -80,6 +80,57 @@ def test_quant_promoted_artifact_roundtrip(tmp_path):
     assert cfg3 == cfg2
 
 
+def test_fake_quant_matches_quantized_forward_and_is_trainable():
+    """fake_quant_apply (STE twin) must reproduce quantized_apply's
+    forward within accumulation tolerance, and a few QAT steps on the
+    fake-quant loss must reduce the REAL quantized loss."""
+    import optax
+
+    from emx.serve.quantize import fake_quant_apply
+
+    model, variables, x = _model_and_vars()
+    amax = calibrate(model, variables, [x])
+    for mode in ("store", "mxu"):
+        got_q = np.asarray(quantized_apply(model, variables, amax, mode)(x))
+        got_f = np.asarray(fake_quant_apply(model, amax, mode)(variables, x))
+        assert np.abs(got_q - got_f).mean() < 2e-3, mode
+
+    # Trainability: STE gradients are finite/nonzero, and descending the
+    # fake-quant loss toward a nontrivial target also moves the REAL
+    # quantized graph toward it (the whole point of QAT).
+    fq = fake_quant_apply(model, amax, "mxu")
+    target = jnp.asarray(np.random.default_rng(7).random(x.shape),
+                         jnp.float32) * 0.5 + 0.25
+
+    def loss_fn(p):
+        return jnp.mean((fq({"params": p}, x) - target) ** 2)
+
+    params = variables["params"]
+    g = jax.grad(loss_fn)(params)
+    norms = [float(jnp.linalg.norm(l))
+             for l in jax.tree_util.tree_leaves(g)]
+    assert all(np.isfinite(n) for n in norms) and max(norms) > 0
+
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+
+    def q_loss(p):
+        pred = quantized_apply(model, {"params": p}, amax, "mxu")(x)
+        return float(jnp.mean((jnp.asarray(pred) - target) ** 2))
+
+    before = q_loss(params)
+
+    @jax.jit
+    def step(p, s):
+        g = jax.grad(loss_fn)(p)
+        updates, s = opt.update(g, s)
+        return optax.apply_updates(p, updates), s
+
+    for _ in range(30):
+        params, opt_state = step(params, opt_state)
+    assert q_loss(params) < before
+
+
 def test_quantized_outputs_close_to_float():
     model, variables, x = _model_and_vars()
     amax = calibrate(model, variables, [x])
