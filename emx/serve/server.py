@@ -188,14 +188,25 @@ def serve_artifact(artifact_path: str, **kw) -> InferenceServer:
         from emx.nn import Denoiser
         from emx.serve.artifact import load_denoiser_artifact
 
-        cfg, variables = load_denoiser_artifact(artifact_path)
+        cfg, variables, quant = load_denoiser_artifact(
+            artifact_path, with_quant=True)
         model = Denoiser(cfg)
 
-        def apply_fn(x):
-            return model.apply(variables, x, train=False)
+        if quant is not None:
+            # int8-promoted bundle: serve the gate-checked quantized
+            # graph — the same program bench.py measures.
+            from emx.serve.quantize import quantized_apply
+
+            apply_fn = quantized_apply(model, variables, quant["amax"],
+                                       mode=quant["mode"],
+                                       skip=quant.get("skip", ()))
+        else:
+            def apply_fn(x):
+                return model.apply(variables, x, train=False)
 
         info = {"model": "denoiser", "s2d": cfg.space_to_depth,
-                "folded_head": cfg.folded_head}
+                "folded_head": cfg.folded_head,
+                "quant": None if quant is None else quant["mode"]}
     else:
         from emx.serve.export import load_artifact
 

@@ -187,3 +187,48 @@ def test_serve_npz_denoiser_bundle(tmp_path):
         assert np.isfinite(out).all()
     finally:
         srv.stop()
+
+
+def test_serve_int8_promoted_bundle(tmp_path):
+    """An int8-promoted bundle must be served through the QUANTIZED
+    graph (the program bench.py measures), not its float twin."""
+    import dataclasses
+    import io
+    import json
+    import urllib.request
+
+    import jax
+
+    from emx.nn import Denoiser, DenoiserConfig
+    from emx.serve.artifact import save_denoiser_artifact
+    from emx.serve.quantize import calibrate, quantized_apply
+    from emx.serve.server import serve_artifact
+
+    cfg = dataclasses.replace(DenoiserConfig.tiny(), norm="none",
+                              space_to_depth=4, folded_head=8)
+    model = Denoiser(cfg)
+    x = jnp.asarray(np.random.default_rng(5).random((1, 64, 64)),
+                    jnp.float32)
+    variables = model.init(jax.random.key(0), x, train=False)
+    amax = calibrate(model, variables, [x])
+    p = str(tmp_path / "artifact_int8.npz")
+    save_denoiser_artifact(p, cfg, variables,
+                           quant={"mode": "mxu", "amax": amax,
+                                  "psnr": 1.0})
+    expect = np.asarray(
+        quantized_apply(model, variables, amax, "mxu")(x))[0]
+
+    srv = serve_artifact(p, port=0)
+    try:
+        buf = io.BytesIO()
+        np.save(buf, np.asarray(x[0]))
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/api/predict", data=buf.getvalue())
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            out = np.load(io.BytesIO(resp.read()))
+        np.testing.assert_allclose(out, expect, atol=1e-5)
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/healthz", timeout=30) as r:
+            assert json.loads(r.read())["quant"] == "mxu"
+    finally:
+        srv.stop()
