@@ -27,6 +27,16 @@ import time
 import numpy as np
 
 
+def _save_policy(agent, out_dir: str) -> None:
+    import jax
+
+    flat = {"/".join(map(str, p)): np.asarray(v) for p, v in
+            jax.tree_util.tree_flatten_with_path(agent.params)[0]}
+    tmp = os.path.join(out_dir, "policy.npz.tmp")
+    np.savez(tmp, **flat)
+    os.replace(tmp, os.path.join(out_dir, "policy.npz"))
+
+
 def main(out_dir: str = "docs/runs/dqn_autofocus",
          total_steps: int = 1_500_000, batch_envs: int = 128,
          train_steps_per_iter: int = 2, cpu: bool = True,
@@ -99,6 +109,10 @@ def main(out_dir: str = "docs/runs/dqn_autofocus",
                        train_final_distance=float(np.mean(done_dists or [0])),
                        epsilon=agent.epsilon(), env_steps_per_s=rate)
             done_dists, done_solved = [], []
+        if (it + 1) % 1000 == 0:
+            # Crash/timeout insurance: snapshot the policy so a killed
+            # run can still be evaluated via policy_npz.
+            _save_policy(agent, out_dir)
     train_s = time.perf_counter() - t0
 
     # Greedy eval on the vec env itself (fresh episodes, no exploration):
@@ -162,10 +176,7 @@ def main(out_dir: str = "docs/runs/dqn_autofocus",
     with open(os.path.join(out_dir, "quality.json"), "w") as f:
         json.dump({"results": results, **summary}, f, indent=1)
     # Policy weights for reuse (emx.serve.artifact-style flat npz).
-    import jax
-    flat = {"/".join(map(str, p)): np.asarray(v) for p, v in
-            jax.tree_util.tree_flatten_with_path(agent.params)[0]}
-    np.savez(os.path.join(out_dir, "policy.npz"), **flat)
+    _save_policy(agent, out_dir)
     print(json.dumps(summary), flush=True)
     return summary
 
