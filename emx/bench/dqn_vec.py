@@ -32,7 +32,9 @@ def _save_policy(agent, out_dir: str) -> None:
 
     flat = {"/".join(map(str, p)): np.asarray(v) for p, v in
             jax.tree_util.tree_flatten_with_path(agent.params)[0]}
-    tmp = os.path.join(out_dir, "policy.npz.tmp")
+    # np.savez appends ".npz" unless the name already ends with it —
+    # the temp name must keep that suffix or os.replace misses the file.
+    tmp = os.path.join(out_dir, "policy.tmp.npz")
     np.savez(tmp, **flat)
     os.replace(tmp, os.path.join(out_dir, "policy.npz"))
 
