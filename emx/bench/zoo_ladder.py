@@ -177,23 +177,35 @@ def run_embedder(steps, scale, size, seed=0):
         embedding_dim=30, dtype=jnp.bfloat16,
     )
     model = UnsupervisedEmbedder(cfg)
+    # Pairs are two random CROPS of the same parent micrograph (+ flip):
+    # the reference's pairs come from its crop dataset of parent stills
+    # (unsupervised_Xception.py input_fn), and shared texture between
+    # crops is the learnable invariance. (D4 transforms of the identical
+    # frame made the task orientation-invariance, which the metric loss
+    # collapsed on.)
+    crop = size * 2 // 3
     imgs = _data(128, size, 4)
 
     def make_pairs(key, batch_imgs):
-        """(2b, h, w): consecutive pairs are augmentations of one image."""
+        """(2b, c, c): consecutive pairs are crops of one image."""
         ks = jax.random.split(key, batch_imgs.shape[0])
+        hi = size - crop
+
+        def one_crop(k, img):
+            oy = jax.random.randint(jax.random.fold_in(k, 0), (), 0, hi)
+            ox = jax.random.randint(jax.random.fold_in(k, 1), (), 0, hi)
+            c = jax.lax.dynamic_slice(img, (oy, ox), (crop, crop))
+            return flip_rotate(c, jax.random.randint(
+                jax.random.fold_in(k, 2), (), 0, 4))
 
         def two(k, img):
-            a = flip_rotate(img, jax.random.randint(
-                jax.random.fold_in(k, 0), (), 0, 8))
-            b = flip_rotate(img, jax.random.randint(
-                jax.random.fold_in(k, 1), (), 0, 8))
-            return jnp.stack([a, b])
+            return jnp.stack([one_crop(jax.random.fold_in(k, 10), img),
+                              one_crop(jax.random.fold_in(k, 11), img)])
 
-        return jax.vmap(two)(ks, batch_imgs).reshape(
-            -1, *batch_imgs.shape[1:])
+        return jax.vmap(two)(ks, batch_imgs).reshape(-1, crop, crop)
 
-    variables = model.init(jax.random.key(seed), imgs[:2], train=False)
+    variables = model.init(jax.random.key(seed),
+                           jnp.zeros((2, crop, crop)), train=False)
     params = variables["params"]
     opt = optax.adam(1e-4)
     opt_state = opt.init(params)
@@ -211,7 +223,7 @@ def run_embedder(steps, scale, size, seed=0):
         return optax.apply_updates(params, updates), opt_state, loss
 
     key = jax.random.key(seed + 1)
-    b = 8
+    b = 16
     loss = None
     for i in range(steps):
         k = jax.random.fold_in(key, i)
@@ -219,11 +231,13 @@ def run_embedder(steps, scale, size, seed=0):
         params, opt_state, loss = step(params, opt_state, k,
                                        jnp.take(imgs, idx, axis=0))
 
-    # Retrieval eval on held-out micrographs.
+    # Retrieval eval on held-out micrographs: nearest neighbour over the
+    # penultimate FC features (the softmax head collapses rank), partner
+    # = the other crop of the same parent.
     val = _data(32, size, 96)
     pairs = make_pairs(jax.random.key(7), val)
     e = jax.jit(lambda x: model.apply({"params": params}, x,
-                                      train=False))(pairs)
+                                      train=False, features=True))(pairs)
     e = e / jnp.maximum(jnp.linalg.norm(e, axis=-1, keepdims=True), 1e-8)
     # np.array (copy): np.asarray of a jax array is a read-only view and
     # fill_diagonal mutates.
@@ -234,7 +248,7 @@ def run_embedder(steps, scale, size, seed=0):
     acc = float((nn_idx == partner).mean())
     return {"top1_retrieval": round(acc, 3),
             "chance": round(1.0 / (len(nn_idx) - 1), 4),
-            "final_loss": round(float(loss), 5)}
+            "crop": crop, "final_loss": round(float(loss), 5)}
 
 
 def run_kernels(steps, scale, size, seed=0):

@@ -157,7 +157,8 @@ class UnsupervisedEmbedder(nn.Module):
     config: EmbedderConfig = EmbedderConfig()
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool = False,
+                 features: bool = False) -> jax.Array:
         cfg = self.config
         if x.ndim == 3:
             x = x[..., None]
@@ -176,6 +177,11 @@ class UnsupervisedEmbedder(nn.Module):
         h = jnp.mean(h, axis=(1, 2))
         h = nn.relu(nn.Dense(cfg.fc_features, dtype=cfg.dtype)(h))
         h = nn.relu(nn.Dense(cfg.fc_features, dtype=cfg.dtype)(h))
+        if features:
+            # Penultimate FC features: the retrieval representation
+            # (the 30-way softmax head collapses rank; standard practice
+            # evaluates the layer below it).
+            return h.astype(jnp.float32)
         logits = nn.Dense(cfg.embedding_dim, dtype=cfg.dtype)(h)
         return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 
