@@ -215,7 +215,14 @@ def run_embedder(steps, scale, size, seed=0):
         pairs = make_pairs(key, batch_imgs)
 
         def loss_fn(p):
-            e = model.apply({"params": p}, pairs, train=True)
+            # Metric loss on the penultimate features: the reference
+            # applies its cosine losses to the raw network output
+            # (unsupervised_Xception.py:700-712), not the softmax
+            # simplex — and on the simplex the loss has a stable
+            # collapse (everything -> uniform, loss pinned at 1.0,
+            # observed at 2.5k steps).
+            e = model.apply({"params": p}, pairs, train=True,
+                            features=True)
             return embedder_metric_loss(e)
 
         loss, g = jax.value_and_grad(loss_fn)(params)
