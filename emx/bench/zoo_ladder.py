@@ -184,7 +184,9 @@ def run_embedder(steps, scale, size, seed=0):
     # frame made the task orientation-invariance, which the metric loss
     # collapsed on.)
     crop = size * 2 // 3
-    imgs = _data(128, size, 4)
+    # 512 parents: at 128 the metric memorizes the pool (8k steps hit
+    # train loss 0.26 with held-out retrieval 0.0 — classic overfit).
+    imgs = _data(512, size, 4)
 
     def make_pairs(key, batch_imgs):
         """(2b, c, c): consecutive pairs are crops of one image."""
