@@ -39,7 +39,8 @@ import optax
 
 def main(artifact: str, out_dir: str = "docs/runs/qat_r3",
          steps: int = 3000, batch: int = 16, lr: float = 2e-5,
-         psnr_gate: float | None = None, mode: str = "mxu") -> dict:
+         psnr_gate: float | None = None, mode: str = "mxu",
+         trainable_last_n: int | None = None) -> dict:
     import dataclasses
 
     from emx.bench.quant_check import _psnr, _throughput, _val_ladder
@@ -63,7 +64,8 @@ def main(artifact: str, out_dir: str = "docs/runs/qat_r3",
     out["float_psnr"] = _psnr(
         jax.jit(lambda x: model.apply(variables, x, train=False))(noisy),
         clean)
-    amax = calibrate(model, variables, [noisy[:8]])
+    amax, conv_order = calibrate(model, variables, [noisy[:8]],
+                                 return_order=True)
     out["ptq_psnr"] = _psnr(
         jax.jit(quantized_apply(model, variables, amax, mode))(noisy),
         clean)
@@ -74,41 +76,56 @@ def main(artifact: str, out_dir: str = "docs/runs/qat_r3",
     train_imgs = jax.device_put(
         jnp.asarray(synthetic_micrographs(1024, noisy.shape[-1], seed=0)))
     fq = fake_quant_apply(model, amax, mode=mode)
-    params = jax.device_put(
+    all_params = jax.device_put(
         jax.tree_util.tree_map(
             lambda p: jnp.asarray(p, jnp.float32), variables["params"]))
+    # Head-only finetune option: differentiate only the params of the
+    # LAST trainable_last_n convs in trace order (the head — it sits at
+    # the network end, so the backward graph shrinks to a few layers;
+    # the full-model backward compile breaks the remote-compile relay
+    # on this host: ~30 min then 'Broken pipe').
+    if trainable_last_n:
+        tops = [p.split("/")[0] for p in conv_order]  # execution order
+        train_tops = sorted(set(tops[-trainable_last_n:]))
+        out["trainable_tops"] = train_tops
+        trainable = {k: v for k, v in all_params.items()
+                     if k in train_tops}
+        frozen = {k: v for k, v in all_params.items()
+                  if k not in train_tops}
+    else:
+        trainable, frozen = all_params, {}
     opt = optax.adam(lr)
-    opt_state = opt.init(params)
+    opt_state = opt.init(trainable)
 
     @jax.jit
-    def step(params, opt_state, key):
+    def step(trainable, opt_state, key):
         k_idx, k_ex = jax.random.split(key)
         idx = jax.random.randint(k_idx, (batch,), 0, train_imgs.shape[0])
         imgs = jnp.take(train_imgs, idx, axis=0)
         lq, tgt = jax.vmap(denoiser_example)(
             jax.random.split(k_ex, batch), imgs)
 
-        def loss_fn(p):
-            pred = fq({"params": p}, lq, train=False)
+        def loss_fn(tr):
+            pred = fq({"params": {**frozen, **tr}}, lq, train=False)
             return huberised_mse(pred.astype(jnp.float32), tgt)
 
-        loss, g = jax.value_and_grad(loss_fn)(params)
+        loss, g = jax.value_and_grad(loss_fn)(trainable)
         updates, opt_state = opt.update(g, opt_state)
-        return optax.apply_updates(params, updates), opt_state, loss
+        return optax.apply_updates(trainable, updates), opt_state, loss
 
     key = jax.random.key(1234)
     t0 = time.perf_counter()
     losses = []
     for i in range(steps):
-        params, opt_state, loss = step(params, opt_state,
-                                       jax.random.fold_in(key, i))
+        trainable, opt_state, loss = step(trainable, opt_state,
+                                          jax.random.fold_in(key, i))
         if (i + 1) % 200 == 0:
             losses.append(round(float(loss), 5))
     out["train_s"] = round(time.perf_counter() - t0, 1)
     out["loss_trace"] = losses
 
     # Recalibrate on the finetuned weights, score the REAL int8 graph.
-    new_vars = {"params": params}
+    new_vars = {"params": {**frozen, **trainable}}
     amax2 = calibrate(model, new_vars, [noisy[:8]])
     qfn = jax.jit(quantized_apply(model, new_vars, amax2, mode))
     out["qat_psnr"] = _psnr(qfn(noisy), clean)
@@ -144,4 +161,5 @@ if __name__ == "__main__":
          int(a[2]) if len(a) > 2 else 3000,
          int(a[3]) if len(a) > 3 else 16,
          float(a[4]) if len(a) > 4 else 2e-5,
-         psnr_gate=float(a[5]) if len(a) > 5 else None)
+         psnr_gate=float(a[5]) if len(a) > 5 else None,
+         trainable_last_n=int(a[6]) if len(a) > 6 else None)

@@ -53,15 +53,22 @@ def _is_conv(context) -> bool:
 
 
 def calibrate(model, variables, batches, train: bool = False,
-              per_channel: bool = True, quantile: float | None = None):
+              per_channel: bool = True, quantile: float | None = None,
+              return_order: bool = False):
     """Run `batches` through the model recording per-conv input ranges.
 
     Returns {conv_path: np.ndarray of shape (C_in,)} when `per_channel`
     (the default), else {conv_path: float}. `quantile` (e.g. 0.9995)
     clips the range at that quantile of |x| instead of the absolute
     max — trades saturation of rare outliers for a finer grid.
-    One jitted pass per batch."""
+    One jitted pass per batch.
+
+    `return_order`: also return the conv paths in EXECUTION order as a
+    second value. (The amax dict itself is key-sorted — jit outputs are
+    pytrees — so its iteration order is alphabetical, not trace order.)
+    """
     records: dict[str, Any] = {}
+    order: list[str] = []
 
     def _range(x):
         ax = jnp.abs(x.astype(jnp.float32))
@@ -76,6 +83,8 @@ def calibrate(model, variables, batches, train: bool = False,
     def interceptor(next_fun, args, kwargs, context):
         if _is_conv(context):
             p = _conv_path(context)
+            if p not in records:
+                order.append(p)  # trace-time side channel: execution order
             m = _range(args[0])
             records[p] = jnp.maximum(records[p], m) if p in records else m
         return next_fun(*args, **kwargs)
@@ -93,7 +102,10 @@ def calibrate(model, variables, batches, train: bool = False,
         for k, v in rec.items():
             v = np.asarray(v)
             amax[k] = np.maximum(amax.get(k, 0.0), v)
-    return {k: (v if v.ndim else float(v)) for k, v in amax.items()}
+    amax = {k: (v if v.ndim else float(v)) for k, v in amax.items()}
+    if return_order:
+        return amax, list(order)
+    return amax
 
 
 def _scale_of(a):

@@ -35,6 +35,19 @@ def test_calibrate_records_every_conv():
                and np.max(v) > 0 for v in amax.values())
 
 
+def test_calibrate_execution_order():
+    """return_order must give conv paths in EXECUTION order (the amax
+    dict itself is key-sorted by the jit pytree roundtrip): the folded
+    head's convs come last."""
+    model, variables, x = _model_and_vars()
+    amax, order = calibrate(model, variables, [x], return_order=True)
+    assert set(order) == set(amax) and len(order) == len(amax)
+    # tiny() + folded_head: the output conv executes last.
+    assert list(amax) != order  # sorted vs traced order differ
+    last_tops = {p.split("/")[0] for p in order[-2:]}
+    assert any(t.startswith("ConvBlock") for t in last_tops)
+
+
 def test_calibrate_per_tensor_and_quantile():
     model, variables, x = _model_and_vars()
     amax_t = calibrate(model, variables, [x], per_channel=False)
