@@ -154,12 +154,149 @@ def main(artifact: str, out_dir: str = "docs/runs/qat_r3",
     return out
 
 
+def head_distill(artifact: str, out_dir: str = "docs/runs/qat_r3",
+                 steps: int = 4000, batch: int = 16, lr: float = 1e-4,
+                 psnr_gate: float | None = None,
+                 mode: str = "mxu") -> dict:
+    """Head-distillation QAT: the full fake-quant training graph (and
+    even its head-only-gradient variant) exceeds the remote-compile
+    relay's ~31-minute request ceiling, so train the folded head
+    STANDALONE: capture its input from the int8 deployment graph (which
+    compiles fine), fake-quant-finetune FoldedHeadTail against the
+    ground truth, then write the head params back and re-gate. The head
+    learns to correct the body's accumulated quantization error — the
+    dominant PTQ loss — with compiles that are seconds, not tens of
+    minutes."""
+    import dataclasses
+
+    from emx.bench.quant_check import _psnr, _throughput, _val_ladder
+    from emx.data.degrade import denoiser_example
+    from emx.data.pipeline import synthetic_micrographs
+    from emx.nn import Denoiser
+    from emx.nn.denoiser import FoldedHeadTail, tail_param_names
+    from emx.serve.artifact import (load_denoiser_artifact,
+                                    save_denoiser_artifact)
+    from emx.serve.quantize import calibrate, fake_quant_apply, \
+        quantized_apply
+    from emx.train.losses import huberised_mse
+
+    os.makedirs(out_dir, exist_ok=True)
+    cfg, variables = load_denoiser_artifact(artifact)
+    cfg = dataclasses.replace(cfg, dtype=jnp.bfloat16)
+    model = Denoiser(cfg)
+    noisy, clean = _val_ladder()
+
+    out: dict = {"metric": "qat_head_distill", "artifact": artifact,
+                 "mode": mode, "steps": steps, "batch": batch, "lr": lr}
+    out["float_psnr"] = _psnr(
+        jax.jit(lambda x: model.apply(variables, x, train=False))(noisy),
+        clean)
+    amax, order = calibrate(model, variables, [noisy[:8]],
+                            return_order=True)
+    out["ptq_psnr"] = _psnr(
+        jax.jit(quantized_apply(model, variables, amax, mode))(noisy),
+        clean)
+
+    mapping = tail_param_names(order, cfg.folded_head_depth)
+    out["head_modules"] = sorted(mapping)
+    first_head_conv = next(p for p in order if p.split("/")[0] in mapping)
+    capture_fn = jax.jit(quantized_apply(model, variables, amax, mode,
+                                         capture=first_head_conv))
+
+    train_imgs = jax.device_put(
+        jnp.asarray(synthetic_micrographs(1024, noisy.shape[-1], seed=0)))
+
+    @jax.jit
+    def make_batch(key):
+        k_idx, k_ex = jax.random.split(key)
+        idx = jax.random.randint(k_idx, (batch,), 0, train_imgs.shape[0])
+        imgs = jnp.take(train_imgs, idx, axis=0)
+        return jax.vmap(denoiser_example)(
+            jax.random.split(k_ex, batch), imgs)
+
+    tail = FoldedHeadTail(cfg)
+    tail_params = {new: jax.tree_util.tree_map(
+        lambda p: jnp.asarray(p, jnp.float32), variables["params"][old])
+        for old, new in mapping.items()}
+    lq0, _ = make_batch(jax.random.key(0))
+    _, cat0 = capture_fn(lq0)
+    tail_amax = calibrate(tail, {"params": tail_params}, [cat0])
+    fq_tail = fake_quant_apply(tail, tail_amax, mode=mode)
+
+    import optax
+
+    opt = optax.adam(lr)
+    opt_state = opt.init(tail_params)
+
+    @jax.jit
+    def tail_step(tp, opt_state, cat, tgt):
+        def loss_fn(p):
+            pred = fq_tail({"params": p}, cat)
+            return huberised_mse(pred.astype(jnp.float32), tgt)
+
+        loss, g = jax.value_and_grad(loss_fn)(tp)
+        updates, opt_state = opt.update(g, opt_state)
+        return optax.apply_updates(tp, updates), opt_state, loss
+
+    key = jax.random.key(1234)
+    t0 = time.perf_counter()
+    losses = []
+    for i in range(steps):
+        lq, tgt = make_batch(jax.random.fold_in(key, i))
+        _, cat = capture_fn(lq)
+        tail_params, opt_state, loss = tail_step(tail_params, opt_state,
+                                                 cat, tgt)
+        if (i + 1) % 200 == 0:
+            losses.append(round(float(loss), 5))
+    out["train_s"] = round(time.perf_counter() - t0, 1)
+    out["loss_trace"] = losses
+
+    new_params = dict(variables["params"])
+    for old, new in mapping.items():
+        new_params[old] = tail_params[new]
+    new_vars = {"params": new_params}
+    amax2 = calibrate(model, new_vars, [noisy[:8]])
+    qfn = jax.jit(quantized_apply(model, new_vars, amax2, mode))
+    out["qat_psnr"] = _psnr(qfn(noisy), clean)
+    out["qat_float_psnr"] = _psnr(
+        jax.jit(lambda x: model.apply(new_vars, x, train=False))(noisy),
+        clean)
+    out["qat_img_per_s"] = _throughput(qfn)
+
+    if psnr_gate is not None:
+        out["psnr_gate"] = psnr_gate
+        promoted = (out["qat_psnr"] > max(out["ptq_psnr"], psnr_gate))
+        out["promoted"] = promoted
+        if promoted:
+            dest = os.path.join(os.path.dirname(artifact) or ".",
+                                "artifact_int8.npz")
+            save_denoiser_artifact(dest, cfg, new_vars, quant={
+                "mode": mode, "amax": amax2,
+                "psnr": out["qat_psnr"],
+                "float_psnr": out["qat_float_psnr"],
+                "psnr_gate": psnr_gate,
+                "qat": {"kind": "head_distill", "steps": steps,
+                        "head_modules": sorted(mapping)},
+                "img_per_s_at_check": out["qat_img_per_s"]})
+            out["promoted_artifact"] = dest
+    with open(os.path.join(out_dir, "qat_head.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out), flush=True)
+    return out
+
+
 if __name__ == "__main__":
     a = sys.argv[1:]
-    main(a[0] if a else "docs/runs/flagship/artifact.npz",
-         a[1] if len(a) > 1 else "docs/runs/qat_r3",
-         int(a[2]) if len(a) > 2 else 3000,
-         int(a[3]) if len(a) > 3 else 16,
-         float(a[4]) if len(a) > 4 else 2e-5,
-         psnr_gate=float(a[5]) if len(a) > 5 else None,
-         trainable_last_n=int(a[6]) if len(a) > 6 else None)
+    kw = dict(
+        out_dir=a[1] if len(a) > 1 else "docs/runs/qat_r3",
+        steps=int(a[2]) if len(a) > 2 else 3000,
+        batch=int(a[3]) if len(a) > 3 else 16,
+        lr=float(a[4]) if len(a) > 4 else 2e-5,
+        psnr_gate=float(a[5]) if len(a) > 5 else None,
+    )
+    art = a[0] if a else "docs/runs/flagship/artifact.npz"
+    if len(a) > 6 and a[6] == "head":
+        head_distill(art, **kw)
+    else:
+        main(art, trainable_last_n=int(a[6]) if len(a) > 6 else None,
+             **kw)

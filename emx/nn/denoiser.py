@@ -335,3 +335,61 @@ class Denoiser(nn.Module):
 
         out = jnp.clip(out.astype(jnp.float32), 0.0, 1.0)
         return out[..., 0] if squeeze else out
+
+
+class FoldedHeadTail(nn.Module):
+    """The folded-space refinement head + output stage of `Denoiser` as a
+    standalone module (requires folded_head on and the other heads off).
+
+    Block classes and call order match the tail of Denoiser exactly, so
+    parameters map 1:1: in conv execution order, the full model's last
+    `folded_head_depth` SepConvBlocks and last two ConvBlocks become this
+    module's SepConvBlock_0..n-1 / ConvBlock_0 (skip) / ConvBlock_1
+    (output head). Used by emx.bench.qat_finetune's head-distillation
+    mode, which trains the head standalone on features captured from the
+    int8 deployment graph (the full fake-quant training graph exceeds
+    the remote-compile relay's request ceiling on this host).
+    """
+
+    config: DenoiserConfig
+
+    @nn.compact
+    def __call__(self, cat: jax.Array, train: bool = False) -> jax.Array:
+        cfg = self.config
+        assert cfg.folded_head and not cfg.mid_res_head \
+            and not cfg.full_res_head and not cfg.kernel_pred_head
+        kw = dict(norm=cfg.norm, axis_name=cfg.axis_name, dtype=cfg.dtype)
+        s2d = cfg.space_to_depth
+        r = cat.astype(cfg.dtype)
+        for _ in range(cfg.folded_head_depth):
+            r = SepConvBlock(cfg.folded_head, **kw)(r, train)
+        d = r + ConvBlock(cfg.folded_head, kernel=1, **kw)(
+            cat.astype(cfg.dtype), train)
+        out = ConvBlock(s2d * s2d, kernel=3, **kw)(d, train)
+        if s2d > 1:
+            out = _depth_to_space(out, s2d)
+        out = jnp.clip(out.astype(jnp.float32), 0.0, 1.0)
+        return out[..., 0]
+
+
+def tail_param_names(conv_order: list[str],
+                     depth: int) -> dict[str, str]:
+    """Map full-Denoiser top-level param names -> FoldedHeadTail names.
+
+    `conv_order` is calibrate(return_order=True)'s execution-ordered conv
+    path list; the tail is its last depth+2 distinct top-level modules
+    (depth SepConvBlocks, the 1x1 skip ConvBlock, the output ConvBlock).
+    """
+    uniq = list(dict.fromkeys(p.split("/")[0] for p in conv_order))
+    tail = uniq[-(depth + 2):]
+    mapping: dict[str, str] = {}
+    sep_i = conv_i = 0
+    for t in tail:
+        if t.startswith("SepConvBlock"):
+            mapping[t] = f"SepConvBlock_{sep_i}"
+            sep_i += 1
+        else:
+            mapping[t] = f"ConvBlock_{conv_i}"
+            conv_i += 1
+    assert sep_i == depth and conv_i == 2, (tail, mapping)
+    return mapping

@@ -142,19 +142,28 @@ def _manual_conv(mod: nn.Conv, x, kernel, bias, compute_dtype):
 
 def quantized_apply(model, variables, amax: dict[str, Any],
                     mode: str = "store",
-                    skip: Iterable[str] = ()) -> Callable:
+                    skip: Iterable[str] = (),
+                    capture: str | None = None) -> Callable:
     """Build an apply_fn with every nn.Conv quantized. `amax` comes from
     `calibrate` (missing entries and `skip` members leave that conv
     untouched). amax values may be per-tensor floats or per-input-
     channel arrays — per-channel scales are folded into the weights on
-    the mxu path so the integer conv stays plain s8xs8->s32."""
+    the mxu path so the integer conv stays plain s8xs8->s32.
+
+    `capture`: a conv path; when set, apply_fn returns
+    (output, unquantized_input_of_that_conv) — used to harvest
+    intermediate features (e.g. the folded-head input) from the
+    deployment graph."""
     assert mode in ("store", "mxu")
     skip = set(skip)
+    captured: dict[str, Any] = {}
 
     def interceptor(next_fun, args, kwargs, context):
         if not _is_conv(context):
             return next_fun(*args, **kwargs)
         p = _conv_path(context)
+        if capture is not None and p == capture:
+            captured["x"] = args[0]
         if p not in amax or p in skip or np.all(np.asarray(amax[p]) <= 0):
             return next_fun(*args, **kwargs)
         mod: nn.Conv = context.module
@@ -187,7 +196,10 @@ def quantized_apply(model, variables, amax: dict[str, Any],
 
     def apply_fn(x, train: bool = False):
         with nn.intercept_methods(interceptor):
-            return model.apply(variables, x, train=train)
+            out = model.apply(variables, x, train=train)
+        if capture is not None:
+            return out, captured["x"]
+        return out
 
     return apply_fn
 

@@ -153,3 +153,25 @@ def test_quantized_outputs_close_to_float():
         got = np.asarray(fn(x))
         err = np.abs(got - ref).mean()
         assert err < 0.02, (mode, err)
+
+
+def test_folded_head_tail_replicates_full_model():
+    """FoldedHeadTail with params mapped from the full Denoiser must
+    reproduce the full model's output exactly, given the captured
+    folded-head input (the head-distillation contract)."""
+    from emx.nn.denoiser import FoldedHeadTail, tail_param_names
+
+    model, variables, x = _model_and_vars()
+    amax, order = calibrate(model, variables, [x], return_order=True)
+    mapping = tail_param_names(order, model.config.folded_head_depth)
+    first_head_conv = next(p for p in order
+                           if p.split("/")[0] in mapping)
+    # Float path (amax={} quantizes nothing) with feature capture.
+    full_out, cat = quantized_apply(model, variables, {},
+                                    capture=first_head_conv)(x)
+    tail = FoldedHeadTail(model.config)
+    tail_params = {new: variables["params"][old]
+                   for old, new in mapping.items()}
+    tail_out = tail.apply({"params": tail_params}, cat)
+    np.testing.assert_allclose(np.asarray(tail_out),
+                               np.asarray(full_out), atol=1e-6)
