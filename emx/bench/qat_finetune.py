@@ -97,11 +97,15 @@ def main(artifact: str, out_dir: str = "docs/runs/qat_r3",
     opt = optax.adam(lr)
     opt_state = opt.init(trainable)
 
+    # corpus passed as a jit ARG: a closed-over device array is embedded
+    # as an MLIR constant, ballooning the remote-compile payload past
+    # the relay's limit (observed: 69 s MLIR conversion, then the relay
+    # drops the >1 GB request with 'Broken pipe' ~30 min in).
     @jax.jit
-    def step(trainable, opt_state, key):
+    def step(trainable, opt_state, key, corpus):
         k_idx, k_ex = jax.random.split(key)
-        idx = jax.random.randint(k_idx, (batch,), 0, train_imgs.shape[0])
-        imgs = jnp.take(train_imgs, idx, axis=0)
+        idx = jax.random.randint(k_idx, (batch,), 0, corpus.shape[0])
+        imgs = jnp.take(corpus, idx, axis=0)
         lq, tgt = jax.vmap(denoiser_example)(
             jax.random.split(k_ex, batch), imgs)
 
@@ -118,7 +122,8 @@ def main(artifact: str, out_dir: str = "docs/runs/qat_r3",
     losses = []
     for i in range(steps):
         trainable, opt_state, loss = step(trainable, opt_state,
-                                          jax.random.fold_in(key, i))
+                                          jax.random.fold_in(key, i),
+                                          train_imgs)
         if (i + 1) % 200 == 0:
             losses.append(round(float(loss), 5))
     out["train_s"] = round(time.perf_counter() - t0, 1)
@@ -180,22 +185,31 @@ def head_distill(artifact: str, out_dir: str = "docs/runs/qat_r3",
         quantized_apply
     from emx.train.losses import huberised_mse
 
+    def stage(msg):
+        print(f"[stage +{time.perf_counter() - t_start:8.1f}s] {msg}",
+              flush=True)
+
+    t_start = time.perf_counter()
     os.makedirs(out_dir, exist_ok=True)
     cfg, variables = load_denoiser_artifact(artifact)
     cfg = dataclasses.replace(cfg, dtype=jnp.bfloat16)
     model = Denoiser(cfg)
     noisy, clean = _val_ladder()
+    stage("ladder built")
 
     out: dict = {"metric": "qat_head_distill", "artifact": artifact,
                  "mode": mode, "steps": steps, "batch": batch, "lr": lr}
     out["float_psnr"] = _psnr(
         jax.jit(lambda x: model.apply(variables, x, train=False))(noisy),
         clean)
+    stage(f"float psnr {out['float_psnr']}")
     amax, order = calibrate(model, variables, [noisy[:8]],
                             return_order=True)
+    stage("calibrated")
     out["ptq_psnr"] = _psnr(
         jax.jit(quantized_apply(model, variables, amax, mode))(noisy),
         clean)
+    stage(f"ptq psnr {out['ptq_psnr']}")
 
     mapping = tail_param_names(order, cfg.folded_head_depth)
     out["head_modules"] = sorted(mapping)
@@ -205,12 +219,18 @@ def head_distill(artifact: str, out_dir: str = "docs/runs/qat_r3",
 
     train_imgs = jax.device_put(
         jnp.asarray(synthetic_micrographs(1024, noisy.shape[-1], seed=0)))
+    jax.block_until_ready(train_imgs)
+    stage("corpus resident")
 
+    # corpus as a jit ARG, not a closure: closed-over device arrays are
+    # embedded as MLIR constants — a >1 GB remote-compile payload that
+    # the relay drops with 'Broken pipe' (the cause of every earlier
+    # QAT compile failure this round).
     @jax.jit
-    def make_batch(key):
+    def make_batch(corpus, key):
         k_idx, k_ex = jax.random.split(key)
-        idx = jax.random.randint(k_idx, (batch,), 0, train_imgs.shape[0])
-        imgs = jnp.take(train_imgs, idx, axis=0)
+        idx = jax.random.randint(k_idx, (batch,), 0, corpus.shape[0])
+        imgs = jnp.take(corpus, idx, axis=0)
         return jax.vmap(denoiser_example)(
             jax.random.split(k_ex, batch), imgs)
 
@@ -218,10 +238,13 @@ def head_distill(artifact: str, out_dir: str = "docs/runs/qat_r3",
     tail_params = {new: jax.tree_util.tree_map(
         lambda p: jnp.asarray(p, jnp.float32), variables["params"][old])
         for old, new in mapping.items()}
-    lq0, _ = make_batch(jax.random.key(0))
+    lq0, _ = make_batch(train_imgs, jax.random.key(0))
+    stage("make_batch compiled")
     _, cat0 = capture_fn(lq0)
+    stage("capture_fn compiled")
     tail_amax = calibrate(tail, {"params": tail_params}, [cat0])
     fq_tail = fake_quant_apply(tail, tail_amax, mode=mode)
+    stage("tail calibrated")
 
     import optax
 
@@ -242,7 +265,7 @@ def head_distill(artifact: str, out_dir: str = "docs/runs/qat_r3",
     t0 = time.perf_counter()
     losses = []
     for i in range(steps):
-        lq, tgt = make_batch(jax.random.fold_in(key, i))
+        lq, tgt = make_batch(train_imgs, jax.random.fold_in(key, i))
         _, cat = capture_fn(lq)
         tail_params, opt_state, loss = tail_step(tail_params, opt_state,
                                                  cat, tgt)
