@@ -288,11 +288,18 @@ def head_distill(artifact: str, out_dir: str = "docs/runs/qat_r3",
 
     if psnr_gate is not None:
         out["psnr_gate"] = psnr_gate
-        promoted = (out["qat_psnr"] > max(out["ptq_psnr"], psnr_gate))
+        dest = os.path.join(os.path.dirname(artifact) or ".",
+                            "artifact_int8.npz")
+        # Never regress an existing promoted bundle.
+        incumbent = -1.0
+        if os.path.exists(dest):
+            _, _, q_inc = load_denoiser_artifact(dest, with_quant=True)
+            incumbent = float((q_inc or {}).get("psnr", -1.0))
+        out["incumbent_psnr"] = incumbent
+        promoted = (out["qat_psnr"]
+                    > max(out["ptq_psnr"], psnr_gate, incumbent))
         out["promoted"] = promoted
         if promoted:
-            dest = os.path.join(os.path.dirname(artifact) or ".",
-                                "artifact_int8.npz")
             save_denoiser_artifact(dest, cfg, new_vars, quant={
                 "mode": mode, "amax": amax2,
                 "psnr": out["qat_psnr"],
