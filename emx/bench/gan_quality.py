@@ -34,7 +34,7 @@ import numpy as np
 
 def main(out_dir: str, steps: int = 20000, batch: int = 8,
          size: int = 256, scale: float = 0.5,
-         mse_weight: float = 10.0) -> dict:
+         mse_weight: float = 10.0, init_from: str | None = None) -> dict:
     from emx.analysis.inpaint import compare_infills, masked_psnr
     from emx.data.degrade import apply_partial_scan, fixed_scan_mask, \
         infilling_example, norm_neg1to1, sanitize
@@ -87,6 +87,19 @@ def main(out_dir: str, steps: int = 20000, batch: int = 8,
         state, pipe_state = ckpt.restore(state)
         if pipe_state:
             pipe.load_state_dict(pipe_state)
+    elif init_from:
+        # Warm-start from a committed bundle (orbax ckpts are gitignored
+        # and lost between build sessions). Optimizer moments restart;
+        # the adaptive G/D scheduler EMAs are restored so the switch
+        # logic resumes where it left off.
+        from emx.serve.artifact import load_pytree_like
+
+        ref = {k: getattr(state, k)
+               for k in ("gen_params", "gen_stats", "disc_params",
+                         "disc_stats", "pred_avg", "pred_avg_real")}
+        tree, meta = load_pytree_like(init_from, ref)
+        state = state.replace(
+            step=jnp.asarray(int(meta.get("step", 0)), jnp.int32), **tree)
     start = int(state.step)
     t0 = time.perf_counter()
     if start < steps:
@@ -95,6 +108,16 @@ def main(out_dir: str, steps: int = 20000, batch: int = 8,
     train_s = max(time.perf_counter() - t0, 1e-9)
     ckpt.save(int(state.step), state, pipe.state_dict(), wait=True)
     ckpt.close()
+    # Committed resume point (see init_from above).
+    from emx.serve.artifact import save_pytree_npz
+
+    save_pytree_npz(
+        os.path.join(out_dir, "gan_state.npz"),
+        {k: getattr(state, k)
+         for k in ("gen_params", "gen_stats", "disc_params",
+                   "disc_stats", "pred_avg", "pred_avg_real")},
+        meta={"step": int(state.step), "scale": scale, "size": size,
+              "mse_weight": mse_weight})
 
     # Held-out eval: deterministic partial scans of unseen micrographs.
     @jax.jit
@@ -150,4 +173,5 @@ if __name__ == "__main__":
          int(a[2]) if len(a) > 2 else 8,
          int(a[3]) if len(a) > 3 else 256,
          float(a[4]) if len(a) > 4 else 0.5,
-         float(a[5]) if len(a) > 5 else 10.0)
+         float(a[5]) if len(a) > 5 else 10.0,
+         a[6] if len(a) > 6 else None)

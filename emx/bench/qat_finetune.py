@@ -40,7 +40,19 @@ import optax
 def main(artifact: str, out_dir: str = "docs/runs/qat_r3",
          steps: int = 3000, batch: int = 16, lr: float = 2e-5,
          psnr_gate: float | None = None, mode: str = "mxu",
-         trainable_last_n: int | None = None) -> dict:
+         trainable_last_n: int | None = None,
+         target: str = "clean", clean_weight: float = 0.0) -> dict:
+    """`target`:
+      'clean' — huberised MSE against the degradation ground truth (the
+        artifact's original objective). Measured round 3: at lr 2e-5 x
+        3000 steps this REGRESSED the model (float 38.33 -> 35.06) — a
+        converged nesterov minimum revisited with fresh Adam steps walks
+        away from it far faster than STE robustness accrues.
+      'float' — self-distillation: match the FLOAT teacher's output on
+        the same batch. The minimum (zero quantization error, function
+        unchanged) coincides with what serving wants, so the objective
+        cannot degrade the function it is protecting; `clean_weight`
+        optionally mixes the clean-target loss back in."""
     import dataclasses
 
     from emx.bench.quant_check import _psnr, _throughput, _val_ladder
@@ -59,8 +71,10 @@ def main(artifact: str, out_dir: str = "docs/runs/qat_r3",
     model = Denoiser(cfg)
     noisy, clean = _val_ladder()
 
+    assert target in ("clean", "float")
     out: dict = {"metric": "qat_finetune", "artifact": artifact,
-                 "mode": mode, "steps": steps, "batch": batch, "lr": lr}
+                 "mode": mode, "steps": steps, "batch": batch, "lr": lr,
+                 "target": target, "clean_weight": clean_weight}
     out["float_psnr"] = _psnr(
         jax.jit(lambda x: model.apply(variables, x, train=False))(noisy),
         clean)
@@ -97,31 +111,44 @@ def main(artifact: str, out_dir: str = "docs/runs/qat_r3",
     opt = optax.adam(lr)
     opt_state = opt.init(trainable)
 
-    # corpus passed as a jit ARG: a closed-over device array is embedded
-    # as an MLIR constant, ballooning the remote-compile payload past
-    # the relay's limit (observed: 69 s MLIR conversion, then the relay
-    # drops the >1 GB request with 'Broken pipe' ~30 min in).
+    # All device arrays (corpus, frozen params, the float teacher) are
+    # jit ARGS: a closed-over device array is embedded as an MLIR
+    # constant, ballooning the remote-compile payload past the relay's
+    # limit (observed: 69 s MLIR conversion, then the relay drops the
+    # >1 GB request with 'Broken pipe' ~30 min in).
     @jax.jit
-    def step(trainable, opt_state, key, corpus):
+    def step(trainable, frozen, teacher, opt_state, key, corpus):
         k_idx, k_ex = jax.random.split(key)
         idx = jax.random.randint(k_idx, (batch,), 0, corpus.shape[0])
         imgs = jnp.take(corpus, idx, axis=0)
         lq, tgt = jax.vmap(denoiser_example)(
             jax.random.split(k_ex, batch), imgs)
+        if target == "float":
+            tgt_f = jax.lax.stop_gradient(
+                model.apply({"params": teacher}, lq, train=False)
+            ).astype(jnp.float32)
 
         def loss_fn(tr):
             pred = fq({"params": {**frozen, **tr}}, lq, train=False)
-            return huberised_mse(pred.astype(jnp.float32), tgt)
+            pred = pred.astype(jnp.float32)
+            if target == "float":
+                loss = huberised_mse(pred, tgt_f)
+                if clean_weight:
+                    loss = loss + clean_weight * huberised_mse(pred, tgt)
+                return loss
+            return huberised_mse(pred, tgt)
 
         loss, g = jax.value_and_grad(loss_fn)(trainable)
         updates, opt_state = opt.update(g, opt_state)
         return optax.apply_updates(trainable, updates), opt_state, loss
 
+    teacher = all_params if target == "float" else {}
     key = jax.random.key(1234)
     t0 = time.perf_counter()
     losses = []
     for i in range(steps):
-        trainable, opt_state, loss = step(trainable, opt_state,
+        trainable, opt_state, loss = step(trainable, frozen, teacher,
+                                          opt_state,
                                           jax.random.fold_in(key, i),
                                           train_imgs)
         if (i + 1) % 200 == 0:
@@ -141,19 +168,29 @@ def main(artifact: str, out_dir: str = "docs/runs/qat_r3",
 
     if psnr_gate is not None:
         out["psnr_gate"] = psnr_gate
-        promoted = (out["qat_psnr"] > max(out["ptq_psnr"], psnr_gate))
+        dest = os.path.join(os.path.dirname(artifact) or ".",
+                            "artifact_int8.npz")
+        # Never regress an existing promoted bundle.
+        incumbent = -1.0
+        if os.path.exists(dest):
+            _, _, q_inc = load_denoiser_artifact(dest, with_quant=True)
+            incumbent = float((q_inc or {}).get("psnr", -1.0))
+        out["incumbent_psnr"] = incumbent
+        promoted = (out["qat_psnr"]
+                    > max(out["ptq_psnr"], psnr_gate, incumbent))
         out["promoted"] = promoted
         if promoted:
-            dest = os.path.join(os.path.dirname(artifact) or ".",
-                                "artifact_int8.npz")
             save_denoiser_artifact(dest, cfg, new_vars, quant={
                 "mode": mode, "amax": amax2,
                 "psnr": out["qat_psnr"],
                 "float_psnr": out["qat_float_psnr"],
-                "psnr_gate": psnr_gate, "qat_steps": steps,
+                "psnr_gate": psnr_gate,
+                "qat": {"kind": target, "steps": steps,
+                        "clean_weight": clean_weight},
                 "img_per_s_at_check": out["qat_img_per_s"]})
             out["promoted_artifact"] = dest
-    with open(os.path.join(out_dir, "qat.json"), "w") as f:
+    name = "qat.json" if target == "clean" else f"qat_{target}.json"
+    with open(os.path.join(out_dir, name), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out), flush=True)
     return out
@@ -325,8 +362,11 @@ if __name__ == "__main__":
         psnr_gate=float(a[5]) if len(a) > 5 else None,
     )
     art = a[0] if a else "docs/runs/flagship/artifact.npz"
-    if len(a) > 6 and a[6] == "head":
+    sel = a[6] if len(a) > 6 else None
+    if sel == "head":
         head_distill(art, **kw)
+    elif sel == "float":
+        main(art, target="float",
+             clean_weight=float(a[7]) if len(a) > 7 else 0.0, **kw)
     else:
-        main(art, trainable_last_n=int(a[6]) if len(a) > 6 else None,
-             **kw)
+        main(art, trainable_last_n=int(sel) if sel else None, **kw)

@@ -36,7 +36,7 @@ import numpy as np
 def main(out_dir: str, s2d: int = 2, steps: int = 5000,
          batch: int = 16, full_res_head: int = 0,
          norm: str = "group", mid_res_head: int = 0,
-         folded_head: int = 0) -> dict:
+         folded_head: int = 0, init_from: str | None = None) -> dict:
     from emx.analysis.filters import compare_denoisers
     from emx.data.degrade import denoiser_example, poisson_dose
     from emx.data.pipeline import DeviceDataset, PipelineConfig, \
@@ -72,6 +72,21 @@ def main(out_dir: str, s2d: int = 2, steps: int = 5000,
         state, pipe_state = ckpt.restore(state)
         if pipe_state:
             pipe.load_state_dict(pipe_state)
+    elif init_from:
+        # Warm-start from a committed train-state bundle (orbax ckpts are
+        # gitignored and lost between build sessions; state_bn.npz is the
+        # cross-session resume path). Optimizer momentum restarts fresh —
+        # it refills within tens of steps.
+        from emx.serve.artifact import load_pytree_like
+
+        ref = {"params": state.params}
+        if jax.tree_util.tree_leaves(state.batch_stats):
+            ref["batch_stats"] = state.batch_stats
+        tree, meta = load_pytree_like(init_from, ref)
+        state = state.replace(
+            step=jnp.asarray(int(meta.get("step", 0)), jnp.int32),
+            params=tree["params"],
+            batch_stats=tree.get("batch_stats", state.batch_stats))
     start = int(state.step)
     t0 = time.perf_counter()
     # Two-phase schedule: 1e-3 for the first 70%, then 1e-4 (the
@@ -90,6 +105,15 @@ def main(out_dir: str, s2d: int = 2, steps: int = 5000,
     train_s = max(time.perf_counter() - t0, 1e-9)
     ckpt.save(int(state.step), state, pipe.state_dict(), wait=True)
     ckpt.close()
+    # Committed resume point (see init_from above).
+    from emx.serve.artifact import save_pytree_npz
+
+    bundle = {"params": state.params}
+    if jax.tree_util.tree_leaves(state.batch_stats):
+        bundle["batch_stats"] = state.batch_stats
+    save_pytree_npz(os.path.join(out_dir, "state_bn.npz"), bundle,
+                    meta={"step": int(state.step), "s2d": s2d,
+                          "norm": norm, "folded_head": folded_head})
 
     # Fixed val degradation: deterministic LOW-dose ladder — the regime
     # the denoiser exists for (train doses ~ 25+Exp(75)); classical
@@ -179,4 +203,5 @@ if __name__ == "__main__":
          int(a[4]) if len(a) > 4 else 0,
          a[5] if len(a) > 5 else "group",
          int(a[6]) if len(a) > 6 else 0,
-         int(a[7]) if len(a) > 7 else 0)
+         int(a[7]) if len(a) > 7 else 0,
+         a[8] if len(a) > 8 else None)

@@ -16,6 +16,7 @@ import json
 from typing import Any
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 _CFG_KEY = "__config_json__"
@@ -75,6 +76,55 @@ def save_denoiser_artifact(path: str, config, variables: dict,
             json.dumps(quant, default=lambda a: np.asarray(a).tolist())
             .encode(), dtype=np.uint8)
     np.savez(path, **flat, **extra)
+
+
+def _kp_str(k) -> str:
+    # jax key-path entries: DictKey(.key) / GetAttrKey(.name) / SequenceKey(.idx)
+    if hasattr(k, "key"):
+        return str(k.key)
+    if hasattr(k, "name"):
+        return str(k.name)
+    return str(getattr(k, "idx", k))
+
+
+def save_pytree_npz(path: str, tree, meta: dict | None = None) -> None:
+    """Persist an arbitrary pytree (params, batch_stats, ...) as one .npz
+    keyed by tree paths. Unlike the orbax checkpoints (gitignored, lost
+    between build sessions), these bundles are small enough to commit, so
+    a later session can warm-start training instead of redoing it.
+    `meta` (JSON-serializable) rides along under a reserved key."""
+    flat = {}
+    for kp, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        a = np.asarray(leaf)
+        if a.dtype == jnp.bfloat16:
+            # npz stores ml_dtypes bfloat16 as raw void bytes and loses
+            # the dtype on load; widen here (the loader re-narrows to the
+            # reference tree's dtype).
+            a = a.astype(np.float32)
+        flat[_SEP.join(_kp_str(k) for k in kp)] = a
+    extra = {"__meta_json__": np.frombuffer(
+        json.dumps(meta or {}).encode(), dtype=np.uint8)}
+    np.savez(path, **flat, **extra)
+
+
+def load_pytree_like(path: str, ref_tree):
+    """Load a save_pytree_npz bundle INTO the structure of `ref_tree`:
+    containers (dict vs FrozenDict) and leaf dtypes follow the reference,
+    values come from the file — so the result drops into an existing
+    TrainState without changing optimizer treedefs. Returns (tree, meta).
+    Raises KeyError if the reference has a path the file lacks."""
+    with np.load(path) as z:
+        meta = json.loads(bytes(z["__meta_json__"]).decode()) \
+            if "__meta_json__" in z.files else {}
+        flat = {k: z[k] for k in z.files if k != "__meta_json__"}
+
+    def pick(kp, ref):
+        v = flat[_SEP.join(_kp_str(k) for k in kp)]
+        return jnp.asarray(v, dtype=ref.dtype) if hasattr(ref, "dtype") \
+            else type(ref)(v)
+
+    tree = jax.tree_util.tree_map_with_path(pick, ref_tree)
+    return tree, meta
 
 
 def load_denoiser_artifact(path: str, with_quant: bool = False):

@@ -104,3 +104,48 @@ def test_artifact_rejects_unfolded(tmp_path):
     variables = _trained_ish_variables(model, x, jax.random.key(5))
     with pytest.raises(ValueError):
         save_denoiser_artifact(str(tmp_path / "a.npz"), cfg, variables)
+
+
+def test_pytree_bundle_roundtrip_preserves_structure(tmp_path):
+    """save_pytree_npz / load_pytree_like: values come from the file,
+    containers and leaf dtypes from the reference tree — so a loaded
+    bundle drops into an existing TrainState without changing the
+    optimizer's treedef (the cross-session warm-start path of
+    emx.bench.quality_run / gan_quality)."""
+    from flax.core import FrozenDict
+
+    from emx.serve.artifact import load_pytree_like, save_pytree_npz
+
+    rng = np.random.default_rng(0)
+    saved = {
+        "params": {"Conv_0": {"kernel": jnp.asarray(
+                       rng.random((3, 3, 2, 4)), jnp.bfloat16)},
+                   "BN_0": {"scale": rng.random((4,))}},
+        "batch_stats": {"BN_0": {"mean": rng.random((4,))}},
+    }
+    p = str(tmp_path / "state.npz")
+    save_pytree_npz(p, saved, meta={"step": 42})
+
+    # Reference tree with different containers, dtypes, and values.
+    ref = {
+        "params": FrozenDict(
+            {"Conv_0": {"kernel": jnp.zeros((3, 3, 2, 4), jnp.bfloat16)},
+             "BN_0": {"scale": jnp.zeros((4,), jnp.float32)}}),
+        "batch_stats": {"BN_0": {"mean": jnp.zeros((4,), jnp.float32)}},
+    }
+    tree, meta = load_pytree_like(p, ref)
+    assert meta["step"] == 42
+    assert isinstance(tree["params"], FrozenDict)
+    assert tree["params"]["Conv_0"]["kernel"].dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(tree["batch_stats"]["BN_0"]["mean"]),
+        saved["batch_stats"]["BN_0"]["mean"], atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(tree["params"]["BN_0"]["scale"]),
+        saved["params"]["BN_0"]["scale"], atol=1e-7)
+    # Missing paths in the file must raise, not silently zero-fill.
+    import pytest as _pytest
+
+    ref_extra = {"params": {"Conv_9": {"kernel": jnp.zeros((1,))}}}
+    with _pytest.raises(KeyError):
+        load_pytree_like(p, ref_extra)
