@@ -199,7 +199,7 @@ def main(artifact: str, out_dir: str = "docs/runs/qat_r3",
 def head_distill(artifact: str, out_dir: str = "docs/runs/qat_r3",
                  steps: int = 4000, batch: int = 16, lr: float = 1e-4,
                  psnr_gate: float | None = None,
-                 mode: str = "mxu") -> dict:
+                 mode: str = "mxu", deep: bool = False) -> dict:
     """Head-distillation QAT: the full fake-quant training graph (and
     even its head-only-gradient variant) exceeds the remote-compile
     relay's ~31-minute request ceiling, so train the folded head
@@ -208,7 +208,11 @@ def head_distill(artifact: str, out_dir: str = "docs/runs/qat_r3",
     ground truth, then write the head params back and re-gate. The head
     learns to correct the body's accumulated quantization error — the
     dominant PTQ loss — with compiles that are seconds, not tens of
-    minutes."""
+    minutes.
+
+    `deep` captures one stage earlier (before the body-resolution
+    refinement block) so three more blocks participate in the
+    correction; the tail input becomes (features, raw batch)."""
     import dataclasses
 
     from emx.bench.quant_check import _psnr, _throughput, _val_ladder
@@ -235,7 +239,8 @@ def head_distill(artifact: str, out_dir: str = "docs/runs/qat_r3",
     stage("ladder built")
 
     out: dict = {"metric": "qat_head_distill", "artifact": artifact,
-                 "mode": mode, "steps": steps, "batch": batch, "lr": lr}
+                 "mode": mode, "steps": steps, "batch": batch, "lr": lr,
+                 "deep": deep}
     out["float_psnr"] = _psnr(
         jax.jit(lambda x: model.apply(variables, x, train=False))(noisy),
         clean)
@@ -248,7 +253,8 @@ def head_distill(artifact: str, out_dir: str = "docs/runs/qat_r3",
         clean)
     stage(f"ptq psnr {out['ptq_psnr']}")
 
-    mapping = tail_param_names(order, cfg.folded_head_depth)
+    mapping = tail_param_names(order, cfg.folded_head_depth,
+                               include_refine=deep)
     out["head_modules"] = sorted(mapping)
     first_head_conv = next(p for p in order if p.split("/")[0] in mapping)
     capture_fn = jax.jit(quantized_apply(model, variables, amax, mode,
@@ -271,13 +277,15 @@ def head_distill(artifact: str, out_dir: str = "docs/runs/qat_r3",
         return jax.vmap(denoiser_example)(
             jax.random.split(k_ex, batch), imgs)
 
-    tail = FoldedHeadTail(cfg)
+    tail = FoldedHeadTail(cfg, include_refine=deep)
     tail_params = {new: jax.tree_util.tree_map(
         lambda p: jnp.asarray(p, jnp.float32), variables["params"][old])
         for old, new in mapping.items()}
     lq0, _ = make_batch(train_imgs, jax.random.key(0))
     stage("make_batch compiled")
     _, cat0 = capture_fn(lq0)
+    if deep:
+        cat0 = (cat0, lq0)
     stage("capture_fn compiled")
     tail_amax = calibrate(tail, {"params": tail_params}, [cat0])
     fq_tail = fake_quant_apply(tail, tail_amax, mode=mode)
@@ -304,6 +312,8 @@ def head_distill(artifact: str, out_dir: str = "docs/runs/qat_r3",
     for i in range(steps):
         lq, tgt = make_batch(train_imgs, jax.random.fold_in(key, i))
         _, cat = capture_fn(lq)
+        if deep:
+            cat = (cat, lq)
         tail_params, opt_state, loss = tail_step(tail_params, opt_state,
                                                  cat, tgt)
         if (i + 1) % 200 == 0:
@@ -342,11 +352,14 @@ def head_distill(artifact: str, out_dir: str = "docs/runs/qat_r3",
                 "psnr": out["qat_psnr"],
                 "float_psnr": out["qat_float_psnr"],
                 "psnr_gate": psnr_gate,
-                "qat": {"kind": "head_distill", "steps": steps,
+                "qat": {"kind": "tail_distill" if deep else "head_distill",
+                        "steps": steps,
                         "head_modules": sorted(mapping)},
                 "img_per_s_at_check": out["qat_img_per_s"]})
             out["promoted_artifact"] = dest
-    with open(os.path.join(out_dir, "qat_head.json"), "w") as f:
+    with open(os.path.join(
+            out_dir, "qat_tail.json" if deep else "qat_head.json"),
+            "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out), flush=True)
     return out
@@ -365,6 +378,8 @@ if __name__ == "__main__":
     sel = a[6] if len(a) > 6 else None
     if sel == "head":
         head_distill(art, **kw)
+    elif sel == "tail":
+        head_distill(art, deep=True, **kw)
     elif sel == "float":
         main(art, target="float",
              clean_weight=float(a[7]) if len(a) > 7 else 0.0, **kw)

@@ -338,33 +338,51 @@ class Denoiser(nn.Module):
 
 
 class FoldedHeadTail(nn.Module):
-    """The folded-space refinement head + output stage of `Denoiser` as a
-    standalone module (requires folded_head on and the other heads off).
+    """The tail of `Denoiser` as a standalone module (requires folded_head
+    on and the other heads off).
+
+    Two capture depths:
+      * include_refine=False — folded-space refinement head + output
+        stage; the input is the captured concat [body features, folded
+        raw input] feeding the first head conv.
+      * include_refine=True — one stage deeper: also the body-resolution
+        refinement block (two f[0] SepConvBlocks + 1x1 skip). The input
+        is (h, x_raw): h captured BEFORE the refinement block, x_raw the
+        raw (b, H, W) network input (the module re-derives the folded
+        skip itself, matching Denoiser's casting exactly).
 
     Block classes and call order match the tail of Denoiser exactly, so
-    parameters map 1:1: in conv execution order, the full model's last
-    `folded_head_depth` SepConvBlocks and last two ConvBlocks become this
-    module's SepConvBlock_0..n-1 / ConvBlock_0 (skip) / ConvBlock_1
-    (output head). Used by emx.bench.qat_finetune's head-distillation
-    mode, which trains the head standalone on features captured from the
-    int8 deployment graph (the full fake-quant training graph exceeds
-    the remote-compile relay's request ceiling on this host).
-    """
+    parameters map 1:1 via `tail_param_names`. Used by
+    emx.bench.qat_finetune's tail-distillation modes, which train the
+    tail standalone on features captured from the int8 deployment graph
+    (the full fake-quant training graph exceeds the remote-compile
+    relay's request ceiling on this host)."""
 
     config: DenoiserConfig
+    include_refine: bool = False
 
     @nn.compact
-    def __call__(self, cat: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(self, inputs, train: bool = False) -> jax.Array:
         cfg = self.config
         assert cfg.folded_head and not cfg.mid_res_head \
             and not cfg.full_res_head and not cfg.kernel_pred_head
         kw = dict(norm=cfg.norm, axis_name=cfg.axis_name, dtype=cfg.dtype)
         s2d = cfg.space_to_depth
-        r = cat.astype(cfg.dtype)
+        if self.include_refine:
+            h, x_raw = inputs
+            h = h.astype(cfg.dtype)
+            x_in = x_raw[..., None].astype(cfg.dtype)
+            d = SepConvBlock(cfg.features[0], **kw)(h, train)
+            d = SepConvBlock(cfg.features[0], **kw)(d, train)
+            d = d + ConvBlock(cfg.features[0], kernel=1, **kw)(h, train)
+            cat = jnp.concatenate(
+                [d, _space_to_depth(x_in, s2d)], axis=-1)
+        else:
+            cat = inputs.astype(cfg.dtype)
+        r = cat
         for _ in range(cfg.folded_head_depth):
             r = SepConvBlock(cfg.folded_head, **kw)(r, train)
-        d = r + ConvBlock(cfg.folded_head, kernel=1, **kw)(
-            cat.astype(cfg.dtype), train)
+        d = r + ConvBlock(cfg.folded_head, kernel=1, **kw)(cat, train)
         out = ConvBlock(s2d * s2d, kernel=3, **kw)(d, train)
         if s2d > 1:
             out = _depth_to_space(out, s2d)
@@ -372,16 +390,20 @@ class FoldedHeadTail(nn.Module):
         return out[..., 0]
 
 
-def tail_param_names(conv_order: list[str],
-                     depth: int) -> dict[str, str]:
+def tail_param_names(conv_order: list[str], depth: int,
+                     include_refine: bool = False) -> dict[str, str]:
     """Map full-Denoiser top-level param names -> FoldedHeadTail names.
 
     `conv_order` is calibrate(return_order=True)'s execution-ordered conv
     path list; the tail is its last depth+2 distinct top-level modules
-    (depth SepConvBlocks, the 1x1 skip ConvBlock, the output ConvBlock).
+    (depth SepConvBlocks, the 1x1 skip ConvBlock, the output ConvBlock),
+    or depth+5 with `include_refine` (plus the two f[0] SepConvBlocks and
+    their 1x1 skip ConvBlock). FoldedHeadTail creates blocks in the same
+    line order Denoiser executes them, so in-order renumbering is exact.
     """
     uniq = list(dict.fromkeys(p.split("/")[0] for p in conv_order))
-    tail = uniq[-(depth + 2):]
+    n_sep = depth + (2 if include_refine else 0)
+    tail = uniq[-(n_sep + (3 if include_refine else 2)):]
     mapping: dict[str, str] = {}
     sep_i = conv_i = 0
     for t in tail:
@@ -391,5 +413,6 @@ def tail_param_names(conv_order: list[str],
         else:
             mapping[t] = f"ConvBlock_{conv_i}"
             conv_i += 1
-    assert sep_i == depth and conv_i == 2, (tail, mapping)
+    assert sep_i == n_sep and conv_i == (3 if include_refine else 2), \
+        (tail, mapping)
     return mapping

@@ -175,3 +175,26 @@ def test_folded_head_tail_replicates_full_model():
     tail_out = tail.apply({"params": tail_params}, cat)
     np.testing.assert_allclose(np.asarray(tail_out),
                                np.asarray(full_out), atol=1e-6)
+
+
+def test_deep_tail_replicates_full_model():
+    """FoldedHeadTail(include_refine=True) — the body-resolution
+    refinement block + folded head — must reproduce the full model's
+    output exactly given features captured BEFORE the refinement block
+    and the raw input batch (the deep tail-distillation contract)."""
+    from emx.nn.denoiser import FoldedHeadTail, tail_param_names
+
+    model, variables, x = _model_and_vars()
+    amax, order = calibrate(model, variables, [x], return_order=True)
+    mapping = tail_param_names(order, model.config.folded_head_depth,
+                               include_refine=True)
+    assert len(mapping) == model.config.folded_head_depth + 5
+    first_conv = next(p for p in order if p.split("/")[0] in mapping)
+    full_out, h = quantized_apply(model, variables, {},
+                                  capture=first_conv)(x)
+    tail = FoldedHeadTail(model.config, include_refine=True)
+    tail_params = {new: variables["params"][old]
+                   for old, new in mapping.items()}
+    tail_out = tail.apply({"params": tail_params}, (h, x))
+    np.testing.assert_allclose(np.asarray(tail_out),
+                               np.asarray(full_out), atol=1e-6)
