@@ -199,7 +199,7 @@ def main(artifact: str, out_dir: str = "docs/runs/qat_r3",
 def head_distill(artifact: str, out_dir: str = "docs/runs/qat_r3",
                  steps: int = 4000, batch: int = 16, lr: float = 1e-4,
                  psnr_gate: float | None = None,
-                 mode: str = "mxu", deep: bool = False) -> dict:
+                 mode: str = "mxu", scope: str = "head") -> dict:
     """Head-distillation QAT: the full fake-quant training graph (and
     even its head-only-gradient variant) exceeds the remote-compile
     relay's ~31-minute request ceiling, so train the folded head
@@ -210,9 +210,10 @@ def head_distill(artifact: str, out_dir: str = "docs/runs/qat_r3",
     dominant PTQ loss — with compiles that are seconds, not tens of
     minutes.
 
-    `deep` captures one stage earlier (before the body-resolution
-    refinement block) so three more blocks participate in the
-    correction; the tail input becomes (features, raw batch)."""
+    `scope` widens the standalone tail: 'refine' captures one stage
+    earlier (before the body-resolution refinement block; measured
+    37.30 -> 38.75 on the flagship), 'decoder' a further decoder stage
+    earlier; the tail input becomes (features, raw batch)."""
     import dataclasses
 
     from emx.bench.quant_check import _psnr, _throughput, _val_ladder
@@ -240,7 +241,7 @@ def head_distill(artifact: str, out_dir: str = "docs/runs/qat_r3",
 
     out: dict = {"metric": "qat_head_distill", "artifact": artifact,
                  "mode": mode, "steps": steps, "batch": batch, "lr": lr,
-                 "deep": deep}
+                 "scope": scope}
     out["float_psnr"] = _psnr(
         jax.jit(lambda x: model.apply(variables, x, train=False))(noisy),
         clean)
@@ -254,7 +255,7 @@ def head_distill(artifact: str, out_dir: str = "docs/runs/qat_r3",
     stage(f"ptq psnr {out['ptq_psnr']}")
 
     mapping = tail_param_names(order, cfg.folded_head_depth,
-                               include_refine=deep)
+                               scope=scope)
     out["head_modules"] = sorted(mapping)
     first_head_conv = next(p for p in order if p.split("/")[0] in mapping)
     capture_fn = jax.jit(quantized_apply(model, variables, amax, mode,
@@ -277,7 +278,8 @@ def head_distill(artifact: str, out_dir: str = "docs/runs/qat_r3",
         return jax.vmap(denoiser_example)(
             jax.random.split(k_ex, batch), imgs)
 
-    tail = FoldedHeadTail(cfg, include_refine=deep)
+    deep = scope != "head"
+    tail = FoldedHeadTail(cfg, tail_scope=scope)
     tail_params = {new: jax.tree_util.tree_map(
         lambda p: jnp.asarray(p, jnp.float32), variables["params"][old])
         for old, new in mapping.items()}
@@ -353,13 +355,13 @@ def head_distill(artifact: str, out_dir: str = "docs/runs/qat_r3",
                 "float_psnr": out["qat_float_psnr"],
                 "psnr_gate": psnr_gate,
                 "qat": {"kind": "tail_distill" if deep else "head_distill",
-                        "steps": steps,
+                        "scope": scope, "steps": steps,
                         "head_modules": sorted(mapping)},
                 "img_per_s_at_check": out["qat_img_per_s"]})
             out["promoted_artifact"] = dest
-    with open(os.path.join(
-            out_dir, "qat_tail.json" if deep else "qat_head.json"),
-            "w") as f:
+    name = {"head": "qat_head.json", "refine": "qat_tail.json",
+            "decoder": "qat_tail_decoder.json"}[scope]
+    with open(os.path.join(out_dir, name), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out), flush=True)
     return out
@@ -379,7 +381,9 @@ if __name__ == "__main__":
     if sel == "head":
         head_distill(art, **kw)
     elif sel == "tail":
-        head_distill(art, deep=True, **kw)
+        head_distill(art, scope="refine", **kw)
+    elif sel == "decoder":
+        head_distill(art, scope="decoder", **kw)
     elif sel == "float":
         main(art, target="float",
              clean_weight=float(a[7]) if len(a) > 7 else 0.0, **kw)

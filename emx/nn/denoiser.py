@@ -341,15 +341,19 @@ class FoldedHeadTail(nn.Module):
     """The tail of `Denoiser` as a standalone module (requires folded_head
     on and the other heads off).
 
-    Two capture depths:
-      * include_refine=False — folded-space refinement head + output
-        stage; the input is the captured concat [body features, folded
-        raw input] feeding the first head conv.
-      * include_refine=True — one stage deeper: also the body-resolution
-        refinement block (two f[0] SepConvBlocks + 1x1 skip). The input
-        is (h, x_raw): h captured BEFORE the refinement block, x_raw the
+    Three capture depths (`scope`):
+      * 'head' — folded-space refinement head + output stage; the input
+        is the captured concat [body features, folded raw input] feeding
+        the first head conv.
+      * 'refine' — one stage deeper: also the body-resolution refinement
+        block (two f[0] SepConvBlocks + 1x1 skip). The input is
+        (h, x_raw): h captured BEFORE the refinement block, x_raw the
         raw (b, H, W) network input (the module re-derives the folded
         skip itself, matching Denoiser's casting exactly).
+      * 'decoder' — deeper still: also the second decoder stage (two
+        f[1] SepConvBlocks + 1x1 skip + DeconvBlock). The input is
+        (cat2, x_raw): cat2 the captured concat [decoder features,
+        encoder tap 0] feeding that stage's first conv.
 
     Block classes and call order match the tail of Denoiser exactly, so
     parameters map 1:1 via `tail_param_names`. Used by
@@ -359,18 +363,29 @@ class FoldedHeadTail(nn.Module):
     relay's request ceiling on this host)."""
 
     config: DenoiserConfig
-    include_refine: bool = False
+    tail_scope: str = "head"  # 'scope' is reserved by flax Modules
 
     @nn.compact
     def __call__(self, inputs, train: bool = False) -> jax.Array:
         cfg = self.config
         assert cfg.folded_head and not cfg.mid_res_head \
             and not cfg.full_res_head and not cfg.kernel_pred_head
+        assert self.tail_scope in ("head", "refine", "decoder")
         kw = dict(norm=cfg.norm, axis_name=cfg.axis_name, dtype=cfg.dtype)
         s2d = cfg.space_to_depth
-        if self.include_refine:
+        if self.tail_scope == "decoder":
+            cat2, x_raw = inputs
+            cat2 = cat2.astype(cfg.dtype)
+            d = SepConvBlock(cfg.features[1], **kw)(cat2, train)
+            d = SepConvBlock(cfg.features[1], **kw)(d, train)
+            d = d + ConvBlock(cfg.features[1], kernel=1, **kw)(cat2, train)
+            h = DeconvBlock(cfg.features[1], norm=cfg.norm,
+                            axis_name=cfg.axis_name, mode=cfg.upsample,
+                            dtype=cfg.dtype)(d, train)
+        elif self.tail_scope == "refine":
             h, x_raw = inputs
             h = h.astype(cfg.dtype)
+        if self.tail_scope in ("refine", "decoder"):
             x_in = x_raw[..., None].astype(cfg.dtype)
             d = SepConvBlock(cfg.features[0], **kw)(h, train)
             d = SepConvBlock(cfg.features[0], **kw)(d, train)
@@ -391,19 +406,29 @@ class FoldedHeadTail(nn.Module):
 
 
 def tail_param_names(conv_order: list[str], depth: int,
-                     include_refine: bool = False) -> dict[str, str]:
+                     scope: str = "head") -> dict[str, str]:
     """Map full-Denoiser top-level param names -> FoldedHeadTail names.
 
     `conv_order` is calibrate(return_order=True)'s execution-ordered conv
-    path list; the tail is its last depth+2 distinct top-level modules
-    (depth SepConvBlocks, the 1x1 skip ConvBlock, the output ConvBlock),
-    or depth+5 with `include_refine` (plus the two f[0] SepConvBlocks and
-    their 1x1 skip ConvBlock). FoldedHeadTail creates blocks in the same
-    line order Denoiser executes them, so in-order renumbering is exact.
-    """
+    path list; the tail is its last N distinct top-level CONV-bearing
+    modules — N = depth+2 ('head': depth SepConvBlocks, the 1x1 skip
+    ConvBlock, the output ConvBlock), depth+5 ('refine': plus the two
+    f[0] SepConvBlocks and their 1x1 skip), or depth+8 ('decoder': plus
+    the two f[1] SepConvBlocks and their 1x1 skip; the DeconvBlock
+    between them holds a ConvTranspose, which calibrate does not see, so
+    it is added from the param tree convention: the highest-numbered
+    DeconvBlock is the second decoder stage's). FoldedHeadTail creates
+    blocks in the same line order Denoiser executes them, so in-order
+    renumbering is exact."""
+    n_sep = depth + {"head": 0, "refine": 2, "decoder": 4}[scope]
+    n_conv = {"head": 2, "refine": 3, "decoder": 4}[scope]
     uniq = list(dict.fromkeys(p.split("/")[0] for p in conv_order))
-    n_sep = depth + (2 if include_refine else 0)
-    tail = uniq[-(n_sep + (3 if include_refine else 2)):]
+    if scope == "decoder" and any(u.startswith("DeconvBlock")
+                                  for u in uniq):
+        # resize_sep upsampling puts convs INSIDE the DeconvBlock; only
+        # the transpose mode (the flagship's) keeps this slice clean.
+        raise ValueError("decoder scope requires upsample='transpose'")
+    tail = uniq[-(n_sep + n_conv):]
     mapping: dict[str, str] = {}
     sep_i = conv_i = 0
     for t in tail:
@@ -413,6 +438,8 @@ def tail_param_names(conv_order: list[str], depth: int,
         else:
             mapping[t] = f"ConvBlock_{conv_i}"
             conv_i += 1
-    assert sep_i == n_sep and conv_i == (3 if include_refine else 2), \
-        (tail, mapping)
+    assert sep_i == n_sep and conv_i == n_conv, (tail, mapping)
+    if scope == "decoder":
+        # Denoiser has exactly two DeconvBlocks; the tail's is the last.
+        mapping["DeconvBlock_1"] = "DeconvBlock_0"
     return mapping

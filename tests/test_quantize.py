@@ -187,14 +187,38 @@ def test_deep_tail_replicates_full_model():
     model, variables, x = _model_and_vars()
     amax, order = calibrate(model, variables, [x], return_order=True)
     mapping = tail_param_names(order, model.config.folded_head_depth,
-                               include_refine=True)
+                               scope="refine")
     assert len(mapping) == model.config.folded_head_depth + 5
     first_conv = next(p for p in order if p.split("/")[0] in mapping)
     full_out, h = quantized_apply(model, variables, {},
                                   capture=first_conv)(x)
-    tail = FoldedHeadTail(model.config, include_refine=True)
+    tail = FoldedHeadTail(model.config, tail_scope="refine")
     tail_params = {new: variables["params"][old]
                    for old, new in mapping.items()}
     tail_out = tail.apply({"params": tail_params}, (h, x))
+    np.testing.assert_allclose(np.asarray(tail_out),
+                               np.asarray(full_out), atol=1e-6)
+
+
+def test_decoder_tail_replicates_full_model():
+    """FoldedHeadTail(scope='decoder') — second decoder stage (incl. the
+    ConvTranspose DeconvBlock) + refinement + folded head — must
+    reproduce the full model's output exactly given the captured
+    skip-concat and the raw input batch."""
+    from emx.nn.denoiser import FoldedHeadTail, tail_param_names
+
+    model, variables, x = _model_and_vars()
+    amax, order = calibrate(model, variables, [x], return_order=True)
+    mapping = tail_param_names(order, model.config.folded_head_depth,
+                               scope="decoder")
+    assert len(mapping) == model.config.folded_head_depth + 9
+    assert mapping["DeconvBlock_1"] == "DeconvBlock_0"
+    first_conv = next(p for p in order if p.split("/")[0] in mapping)
+    full_out, cat2 = quantized_apply(model, variables, {},
+                                     capture=first_conv)(x)
+    tail = FoldedHeadTail(model.config, tail_scope="decoder")
+    tail_params = {new: variables["params"][old]
+                   for old, new in mapping.items()}
+    tail_out = tail.apply({"params": tail_params}, (cat2, x))
     np.testing.assert_allclose(np.asarray(tail_out),
                                np.asarray(full_out), atol=1e-6)
