@@ -188,8 +188,58 @@ def main(artifact: str, out_dir: str = "docs/runs/quant_r3",
     return out
 
 
+def calib_independence(bundle: str = "docs/runs/flagship/artifact_int8.npz",
+                       out_dir: str = "docs/runs/qat_r3") -> dict:
+    """Evidence that the promoted bundle's PSNR does not hinge on
+    calibrating activation scales with val-ladder inputs: recalibrate
+    amax on TRAINING-corpus degradations (disjoint seed from the
+    ladder's micrographs) and re-score the ladder with those scales.
+    Static PTQ calibration is scale statistics only — if quality holds,
+    the eval is clean of calibration leakage."""
+    import dataclasses
+
+    from emx.data.degrade import denoiser_example
+    from emx.data.pipeline import synthetic_micrographs
+    from emx.nn import Denoiser
+    from emx.serve.artifact import load_denoiser_artifact
+    from emx.serve.quantize import calibrate, quantized_apply
+
+    cfg, variables, quant = load_denoiser_artifact(bundle, with_quant=True)
+    assert quant is not None, "bundle has no promoted quant mode"
+    cfg = dataclasses.replace(cfg, dtype=jnp.bfloat16)
+    model = Denoiser(cfg)
+    noisy, clean = _val_ladder()
+
+    out = {"metric": "calib_independence", "bundle": bundle,
+           "mode": quant["mode"]}
+    out["ladder_calib_psnr"] = _psnr(
+        jax.jit(quantized_apply(model, variables, quant["amax"],
+                                quant["mode"],
+                                skip=quant.get("skip", ())))(noisy), clean)
+    # Train-corpus calibration set: same degradation recipe, disjoint
+    # micrographs (seed 0 vs the ladder's 999).
+    imgs = jnp.asarray(synthetic_micrographs(8, noisy.shape[-1], seed=0))
+    lq, _ = jax.vmap(denoiser_example)(
+        jax.random.split(jax.random.key(11), 8), imgs)
+    amax_train = calibrate(model, variables, [lq])
+    out["train_calib_psnr"] = _psnr(
+        jax.jit(quantized_apply(model, variables, amax_train,
+                                quant["mode"],
+                                skip=quant.get("skip", ())))(noisy), clean)
+    out["delta_db"] = round(
+        out["ladder_calib_psnr"] - out["train_calib_psnr"], 3)
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "calib_independence.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out), flush=True)
+    return out
+
+
 if __name__ == "__main__":
     a = sys.argv[1:]
-    main(a[0] if a else "docs/runs/flagship/artifact.npz",
-         a[1] if len(a) > 1 else "docs/runs/quant_r3",
-         psnr_gate=float(a[2]) if len(a) > 2 else None)
+    if a and a[0] == "calib":
+        calib_independence(*a[1:])
+    else:
+        main(a[0] if a else "docs/runs/flagship/artifact.npz",
+             a[1] if len(a) > 1 else "docs/runs/quant_r3",
+             psnr_gate=float(a[2]) if len(a) > 2 else None)

@@ -260,14 +260,24 @@ def quant_check(argv):
 
 def qat_finetune(argv):
     """Quantization-aware finetune of a deployment artifact
-    (emx.bench.qat_finetune)."""
-    from emx.bench.qat_finetune import main as run
-
+    (emx.bench.qat_finetune). `--scope=head|refine|decoder` selects the
+    standalone tail-distillation mode (the measured winner; see
+    docs/architecture.md) instead of full-model fake-quant."""
+    scope = next((x.split("=", 1)[1] for x in argv
+                  if x.startswith("--scope=")), None)
     a = [x for x in argv if not x.startswith("-")]
-    run(a[0] if a else "docs/runs/flagship/artifact.npz",
-        a[1] if len(a) > 1 else "runs/qat",
-        int(a[2]) if len(a) > 2 else 3000,
-        psnr_gate=float(a[3]) if len(a) > 3 else None)
+    art = a[0] if a else "docs/runs/flagship/artifact.npz"
+    out = a[1] if len(a) > 1 else "runs/qat"
+    steps = int(a[2]) if len(a) > 2 else 3000
+    gate = float(a[3]) if len(a) > 3 else None
+    if scope:
+        from emx.bench.qat_finetune import head_distill
+
+        head_distill(art, out, steps, psnr_gate=gate, scope=scope)
+    else:
+        from emx.bench.qat_finetune import main as run
+
+        run(art, out, steps, psnr_gate=gate)
 
 
 COMMANDS = {
