@@ -100,24 +100,31 @@ def main(out_dir: str, steps: int = 20000, batch: int = 8,
         tree, meta = load_pytree_like(init_from, ref)
         state = state.replace(
             step=jnp.asarray(int(meta.get("step", 0)), jnp.int32), **tree)
+    from emx.serve.artifact import save_pytree_npz
+
+    def save_resume(state):
+        # Committed resume point (see init_from above). Refreshed every
+        # segment: sessions end / VMs reset mid-run, orbax ckpts under
+        # out_dir are gitignored — gan_state.npz is what survives.
+        save_pytree_npz(
+            os.path.join(out_dir, "gan_state.npz"),
+            {k: getattr(state, k)
+             for k in ("gen_params", "gen_stats", "disc_params",
+                       "disc_stats", "pred_avg", "pred_avg_real")},
+            meta={"step": int(state.step), "scale": scale, "size": size,
+                  "mse_weight": mse_weight})
+
     start = int(state.step)
     t0 = time.perf_counter()
-    if start < steps:
-        state = trainer.fit(state, pipe, num_steps=steps,
+    while int(state.step) < steps:
+        state = trainer.fit(state, pipe,
+                            num_steps=min(steps, int(state.step) + 5000),
                             checkpointer=ckpt)
+        save_resume(state)
     train_s = max(time.perf_counter() - t0, 1e-9)
     ckpt.save(int(state.step), state, pipe.state_dict(), wait=True)
     ckpt.close()
-    # Committed resume point (see init_from above).
-    from emx.serve.artifact import save_pytree_npz
-
-    save_pytree_npz(
-        os.path.join(out_dir, "gan_state.npz"),
-        {k: getattr(state, k)
-         for k in ("gen_params", "gen_stats", "disc_params",
-                   "disc_stats", "pred_avg", "pred_avg_real")},
-        meta={"step": int(state.step), "scale": scale, "size": size,
-              "mse_weight": mse_weight})
+    save_resume(state)
 
     # Held-out eval: deterministic partial scans of unseen micrographs.
     @jax.jit

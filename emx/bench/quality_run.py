@@ -87,6 +87,19 @@ def main(out_dir: str, s2d: int = 2, steps: int = 5000,
             step=jnp.asarray(int(meta.get("step", 0)), jnp.int32),
             params=tree["params"],
             batch_stats=tree.get("batch_stats", state.batch_stats))
+    from emx.serve.artifact import save_pytree_npz
+
+    def save_resume(state):
+        # Committed resume point (see init_from above). Refreshed every
+        # segment: sessions end / VMs reset mid-run, orbax ckpts under
+        # out_dir are gitignored — state_bn.npz is what survives.
+        bundle = {"params": state.params}
+        if jax.tree_util.tree_leaves(state.batch_stats):
+            bundle["batch_stats"] = state.batch_stats
+        save_pytree_npz(os.path.join(out_dir, "state_bn.npz"), bundle,
+                        meta={"step": int(state.step), "s2d": s2d,
+                              "norm": norm, "folded_head": folded_head})
+
     start = int(state.step)
     t0 = time.perf_counter()
     # Two-phase schedule: 1e-3 for the first 70%, then 1e-4 (the
@@ -94,26 +107,21 @@ def main(out_dir: str, s2d: int = 2, steps: int = 5000,
     phase1 = int(steps * 0.7)
     from emx.train.engine import set_learning_rate
 
-    if start < phase1:
-        state = trainer.fit(state, pipe, num_steps=phase1,
+    save_every = 5000
+    while int(state.step) < steps:
+        here = int(state.step)
+        if here >= phase1:
+            state = state.replace(
+                opt_state=set_learning_rate(state.opt_state, 1e-4))
+        bound = phase1 if here < phase1 else steps
+        state = trainer.fit(state, pipe,
+                            num_steps=min(bound, here + save_every),
                             checkpointer=ckpt)
-    if int(state.step) < steps:
-        state = state.replace(
-            opt_state=set_learning_rate(state.opt_state, 1e-4))
-        state = trainer.fit(state, pipe, num_steps=steps,
-                            checkpointer=ckpt)
+        save_resume(state)
     train_s = max(time.perf_counter() - t0, 1e-9)
     ckpt.save(int(state.step), state, pipe.state_dict(), wait=True)
     ckpt.close()
-    # Committed resume point (see init_from above).
-    from emx.serve.artifact import save_pytree_npz
-
-    bundle = {"params": state.params}
-    if jax.tree_util.tree_leaves(state.batch_stats):
-        bundle["batch_stats"] = state.batch_stats
-    save_pytree_npz(os.path.join(out_dir, "state_bn.npz"), bundle,
-                    meta={"step": int(state.step), "s2d": s2d,
-                          "norm": norm, "folded_head": folded_head})
+    save_resume(state)
 
     # Fixed val degradation: deterministic LOW-dose ladder — the regime
     # the denoiser exists for (train doses ~ 25+Exp(75)); classical
