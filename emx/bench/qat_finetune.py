@@ -213,7 +213,9 @@ def head_distill(artifact: str, out_dir: str = "docs/runs/qat_r3",
     `scope` widens the standalone tail: 'refine' captures one stage
     earlier (before the body-resolution refinement block; measured
     37.30 -> 38.75 on the flagship), 'decoder' a further decoder stage
-    earlier; the tail input becomes (features, raw batch)."""
+    earlier (38.75 -> 41.05 -> 42.69 over two iterations), 'decoder2'
+    the whole decoder (two capture points; see FoldedHeadTail). The
+    tail input becomes (features..., raw batch)."""
     import dataclasses
 
     from emx.bench.quant_check import _psnr, _throughput, _val_ladder
@@ -257,9 +259,30 @@ def head_distill(artifact: str, out_dir: str = "docs/runs/qat_r3",
     mapping = tail_param_names(order, cfg.folded_head_depth,
                                scope=scope)
     out["head_modules"] = sorted(mapping)
-    first_head_conv = next(p for p in order if p.split("/")[0] in mapping)
+    deep = scope != "head"
+    if scope == "decoder2":
+        # Two capture points: the concat feeding the FIRST decoder
+        # stage, and the concat feeding the second stage — whose first
+        # features[2] channels are the int8 graph's own DeconvBlock
+        # output (recomputed by the tail); the remainder is encoder
+        # tap 0, which the tail cannot re-derive.
+        inv = {v: k for k, v in mapping.items()}
+        caps = tuple(
+            next(p for p in order if p.split("/")[0] == inv[name])
+            for name in ("SepConvBlock_0", "SepConvBlock_2"))
+        f2 = cfg.features[2]
+
+        def tail_inputs(captured, lq):
+            cat1, cat2 = captured
+            return (cat1, cat2[..., f2:], lq)
+    else:
+        caps = next(p for p in order if p.split("/")[0] in mapping)
+
+        def tail_inputs(captured, lq):
+            return (captured, lq) if deep else captured
+
     capture_fn = jax.jit(quantized_apply(model, variables, amax, mode,
-                                         capture=first_head_conv))
+                                         capture=caps))
 
     train_imgs = jax.device_put(
         jnp.asarray(synthetic_micrographs(1024, noisy.shape[-1], seed=0)))
@@ -278,16 +301,13 @@ def head_distill(artifact: str, out_dir: str = "docs/runs/qat_r3",
         return jax.vmap(denoiser_example)(
             jax.random.split(k_ex, batch), imgs)
 
-    deep = scope != "head"
     tail = FoldedHeadTail(cfg, tail_scope=scope)
     tail_params = {new: jax.tree_util.tree_map(
         lambda p: jnp.asarray(p, jnp.float32), variables["params"][old])
         for old, new in mapping.items()}
     lq0, _ = make_batch(train_imgs, jax.random.key(0))
     stage("make_batch compiled")
-    _, cat0 = capture_fn(lq0)
-    if deep:
-        cat0 = (cat0, lq0)
+    cat0 = tail_inputs(capture_fn(lq0)[1], lq0)
     stage("capture_fn compiled")
     tail_amax = calibrate(tail, {"params": tail_params}, [cat0])
     fq_tail = fake_quant_apply(tail, tail_amax, mode=mode)
@@ -313,9 +333,7 @@ def head_distill(artifact: str, out_dir: str = "docs/runs/qat_r3",
     losses = []
     for i in range(steps):
         lq, tgt = make_batch(train_imgs, jax.random.fold_in(key, i))
-        _, cat = capture_fn(lq)
-        if deep:
-            cat = (cat, lq)
+        cat = tail_inputs(capture_fn(lq)[1], lq)
         tail_params, opt_state, loss = tail_step(tail_params, opt_state,
                                                  cat, tgt)
         if (i + 1) % 200 == 0:
@@ -360,7 +378,8 @@ def head_distill(artifact: str, out_dir: str = "docs/runs/qat_r3",
                 "img_per_s_at_check": out["qat_img_per_s"]})
             out["promoted_artifact"] = dest
     name = {"head": "qat_head.json", "refine": "qat_tail.json",
-            "decoder": "qat_tail_decoder.json"}[scope]
+            "decoder": "qat_tail_decoder.json",
+            "decoder2": "qat_tail_decoder2.json"}[scope]
     with open(os.path.join(out_dir, name), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out), flush=True)
@@ -384,6 +403,8 @@ if __name__ == "__main__":
         head_distill(art, scope="refine", **kw)
     elif sel == "decoder":
         head_distill(art, scope="decoder", **kw)
+    elif sel == "decoder2":
+        head_distill(art, scope="decoder2", **kw)
     elif sel == "float":
         main(art, target="float",
              clean_weight=float(a[7]) if len(a) > 7 else 0.0, **kw)

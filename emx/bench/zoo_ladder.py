@@ -396,16 +396,21 @@ def run_kernels(steps, scale, size, seed=0):
             "anchor_gaussian_psnr": anchor, "all": scores}
 
 
-def run_vaegan(steps, scale, size, seed=0):
+def run_vaegan(steps, scale, size, seed=0, kl_weight=1.0):
     """Nested VAE-GAN (reference misc_py/ga-vae.py:852-1050): WGAN-GP
     alternation of the spectral critic and the generator-side composite
     loss. Metrics: val reconstruction PSNR through the nested bottleneck
     vs the best-constant anchor, and siamese top-1 retrieval of a cutout
-    view's clean partner vs chance."""
+    view's clean partner vs chance.
+
+    `kl_weight` < 1 relaxes the inner-VAE bottleneck (the reference
+    weight 1.0 measured 12.2 dB recon at 16k steps — below the constant
+    anchor, classic posterior squeeze; the kl=0.1 variant is the
+    emx-native row)."""
     import optax
 
     from emx.nn.vaegan import (NestedVAEGAN, SpectralCritic, VAEGANConfig,
-                               cutout, vaegan_losses)
+                               VAEGANLossWeights, cutout, vaegan_losses)
 
     cfg = VAEGANConfig(
         enc_features=tuple(max(8, int(f * scale))
@@ -460,7 +465,8 @@ def run_vaegan(steps, scale, size, seed=0):
         def g_loss(p):
             total, parts = vaegan_losses(
                 model, {"params": p}, critic,
-                {"params": c_params, "spectral": new_spec}, imgs, k_g)
+                {"params": c_params, "spectral": new_spec}, imgs, k_g,
+                weights=VAEGANLossWeights(kl=kl_weight))
             return total, parts
 
         (gl, parts), gg = jax.value_and_grad(g_loss, has_aux=True)(params)
@@ -597,6 +603,8 @@ FAMILIES = {
     "vaegan": run_vaegan,
     "manifold": run_manifold,
     "embedder_nce": run_embedder_nce,
+    "vaegan_kl01": lambda steps, scale, size: run_vaegan(
+        steps, scale, size, kl_weight=0.1),
 }
 
 

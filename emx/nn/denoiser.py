@@ -354,6 +354,13 @@ class FoldedHeadTail(nn.Module):
         f[1] SepConvBlocks + 1x1 skip + DeconvBlock). The input is
         (cat2, x_raw): cat2 the captured concat [decoder features,
         encoder tap 0] feeding that stage's first conv.
+      * 'decoder2' — the whole decoder: also the first decoder stage
+        (two f[2] SepConvBlocks + 1x1 skip + DeconvBlock). The input is
+        (cat1, tap0, x_raw): cat1 the captured concat [upsampled ASPP
+        features, encoder tap 1] feeding that stage's first conv, tap0
+        the encoder tap the second stage concatenates (sliced from the
+        second stage's captured concat: its first f[2] channels are the
+        tail's own DeconvBlock output, recomputed here).
 
     Block classes and call order match the tail of Denoiser exactly, so
     parameters map 1:1 via `tail_param_names`. Used by
@@ -370,12 +377,24 @@ class FoldedHeadTail(nn.Module):
         cfg = self.config
         assert cfg.folded_head and not cfg.mid_res_head \
             and not cfg.full_res_head and not cfg.kernel_pred_head
-        assert self.tail_scope in ("head", "refine", "decoder")
+        assert self.tail_scope in ("head", "refine", "decoder",
+                                   "decoder2")
         kw = dict(norm=cfg.norm, axis_name=cfg.axis_name, dtype=cfg.dtype)
         s2d = cfg.space_to_depth
+        if self.tail_scope == "decoder2":
+            cat1, tap0, x_raw = inputs
+            cat1 = cat1.astype(cfg.dtype)
+            d = SepConvBlock(cfg.features[2], **kw)(cat1, train)
+            d = SepConvBlock(cfg.features[2], **kw)(d, train)
+            d = d + ConvBlock(cfg.features[2], kernel=1, **kw)(cat1, train)
+            h = DeconvBlock(cfg.features[2], norm=cfg.norm,
+                            axis_name=cfg.axis_name, mode=cfg.upsample,
+                            dtype=cfg.dtype)(d, train)
+            cat2 = jnp.concatenate([h, tap0.astype(cfg.dtype)], axis=-1)
         if self.tail_scope == "decoder":
             cat2, x_raw = inputs
             cat2 = cat2.astype(cfg.dtype)
+        if self.tail_scope in ("decoder", "decoder2"):
             d = SepConvBlock(cfg.features[1], **kw)(cat2, train)
             d = SepConvBlock(cfg.features[1], **kw)(d, train)
             d = d + ConvBlock(cfg.features[1], kernel=1, **kw)(cat2, train)
@@ -385,7 +404,7 @@ class FoldedHeadTail(nn.Module):
         elif self.tail_scope == "refine":
             h, x_raw = inputs
             h = h.astype(cfg.dtype)
-        if self.tail_scope in ("refine", "decoder"):
+        if self.tail_scope in ("refine", "decoder", "decoder2"):
             x_in = x_raw[..., None].astype(cfg.dtype)
             d = SepConvBlock(cfg.features[0], **kw)(h, train)
             d = SepConvBlock(cfg.features[0], **kw)(d, train)
@@ -420,11 +439,12 @@ def tail_param_names(conv_order: list[str], depth: int,
     DeconvBlock is the second decoder stage's). FoldedHeadTail creates
     blocks in the same line order Denoiser executes them, so in-order
     renumbering is exact."""
-    n_sep = depth + {"head": 0, "refine": 2, "decoder": 4}[scope]
-    n_conv = {"head": 2, "refine": 3, "decoder": 4}[scope]
+    n_sep = depth + {"head": 0, "refine": 2, "decoder": 4,
+                     "decoder2": 6}[scope]
+    n_conv = {"head": 2, "refine": 3, "decoder": 4, "decoder2": 5}[scope]
     uniq = list(dict.fromkeys(p.split("/")[0] for p in conv_order))
-    if scope == "decoder" and any(u.startswith("DeconvBlock")
-                                  for u in uniq):
+    if scope in ("decoder", "decoder2") and any(
+            u.startswith("DeconvBlock") for u in uniq):
         # resize_sep upsampling puts convs INSIDE the DeconvBlock; only
         # the transpose mode (the flagship's) keeps this slice clean.
         raise ValueError("decoder scope requires upsample='transpose'")
@@ -442,4 +462,8 @@ def tail_param_names(conv_order: list[str], depth: int,
     if scope == "decoder":
         # Denoiser has exactly two DeconvBlocks; the tail's is the last.
         mapping["DeconvBlock_1"] = "DeconvBlock_0"
+    elif scope == "decoder2":
+        # Both decoder stages are in the tail; numbering coincides.
+        mapping["DeconvBlock_0"] = "DeconvBlock_0"
+        mapping["DeconvBlock_1"] = "DeconvBlock_1"
     return mapping

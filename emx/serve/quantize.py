@@ -150,20 +150,24 @@ def quantized_apply(model, variables, amax: dict[str, Any],
     channel arrays — per-channel scales are folded into the weights on
     the mxu path so the integer conv stays plain s8xs8->s32.
 
-    `capture`: a conv path; when set, apply_fn returns
-    (output, unquantized_input_of_that_conv) — used to harvest
-    intermediate features (e.g. the folded-head input) from the
+    `capture`: a conv path (or a tuple of paths); when set, apply_fn
+    returns (output, unquantized_input_of_that_conv) — a tuple of inputs
+    in the given order when `capture` is a tuple. Used to harvest
+    intermediate features (e.g. the folded-head input, or the two
+    decoder-stage concats for the 'decoder2' tail scope) from the
     deployment graph."""
     assert mode in ("store", "mxu")
     skip = set(skip)
+    cap = ((capture,) if isinstance(capture, str)
+           else tuple(capture) if capture is not None else ())
     captured: dict[str, Any] = {}
 
     def interceptor(next_fun, args, kwargs, context):
         if not _is_conv(context):
             return next_fun(*args, **kwargs)
         p = _conv_path(context)
-        if capture is not None and p == capture:
-            captured["x"] = args[0]
+        if p in cap:
+            captured[p] = args[0]
         if p not in amax or p in skip or np.all(np.asarray(amax[p]) <= 0):
             return next_fun(*args, **kwargs)
         mod: nn.Conv = context.module
@@ -197,8 +201,10 @@ def quantized_apply(model, variables, amax: dict[str, Any],
     def apply_fn(x, train: bool = False):
         with nn.intercept_methods(interceptor):
             out = model.apply(variables, x, train=train)
-        if capture is not None:
-            return out, captured["x"]
+        if isinstance(capture, str):
+            return out, captured[capture]
+        if cap:
+            return out, tuple(captured[c] for c in cap)
         return out
 
     return apply_fn

@@ -222,3 +222,33 @@ def test_decoder_tail_replicates_full_model():
     tail_out = tail.apply({"params": tail_params}, (cat2, x))
     np.testing.assert_allclose(np.asarray(tail_out),
                                np.asarray(full_out), atol=1e-6)
+
+
+def test_decoder2_tail_replicates_full_model():
+    """FoldedHeadTail(scope='decoder2') — the WHOLE decoder (both stages
+    incl. both ConvTranspose DeconvBlocks) + refinement + folded head —
+    must reproduce the full model exactly given the first decoder
+    stage's captured concat, encoder tap 0 (sliced from the second
+    stage's captured concat), and the raw batch."""
+    from emx.nn.denoiser import FoldedHeadTail, tail_param_names
+
+    model, variables, x = _model_and_vars()
+    amax, order = calibrate(model, variables, [x], return_order=True)
+    mapping = tail_param_names(order, model.config.folded_head_depth,
+                               scope="decoder2")
+    assert len(mapping) == model.config.folded_head_depth + 13
+    assert mapping["DeconvBlock_0"] == "DeconvBlock_0"
+    assert mapping["DeconvBlock_1"] == "DeconvBlock_1"
+    inv = {v: k for k, v in mapping.items()}
+    caps = tuple(next(p for p in order if p.split("/")[0] == inv[n])
+                 for n in ("SepConvBlock_0", "SepConvBlock_2"))
+    full_out, (cat1, cat2) = quantized_apply(model, variables, {},
+                                             capture=caps)(x)
+    f2 = model.config.features[2]
+    tail = FoldedHeadTail(model.config, tail_scope="decoder2")
+    tail_params = {new: variables["params"][old]
+                   for old, new in mapping.items()}
+    tail_out = tail.apply({"params": tail_params},
+                          (cat1, cat2[..., f2:], x))
+    np.testing.assert_allclose(np.asarray(tail_out),
+                               np.asarray(full_out), atol=1e-6)
