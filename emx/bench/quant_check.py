@@ -235,10 +235,80 @@ def calib_independence(bundle: str = "docs/runs/flagship/artifact_int8.npz",
     return out
 
 
+def ood_check(bundle: str = "docs/runs/flagship/artifact_int8.npz",
+              out_dir: str = "docs/runs/quant_r3") -> dict:
+    """Robustness evidence on an OUT-OF-FAMILY ladder: weak-phase CTF
+    images of atomic lattices (emx.data.pipeline.ctf_micrographs — a
+    family the denoiser never trains on) under the same low-dose
+    Poisson ladder, scored for the served bundle, its float twin, and
+    every classical filter (the reference err_hist workload,
+    misc_py/err_hist_maker.py:1-175, on a harder domain)."""
+    import dataclasses
+
+    from emx.analysis.filters import compare_denoisers
+    from emx.data.degrade import poisson_dose
+    from emx.data.pipeline import ctf_micrographs
+    from emx.nn import Denoiser
+    from emx.serve.artifact import load_denoiser_artifact
+    from emx.serve.quantize import quantized_apply
+    from emx.utils.image import sanitize, scale0to1
+
+    cfg, variables, quant = load_denoiser_artifact(bundle,
+                                                   with_quant=True)
+    cfg = dataclasses.replace(cfg, dtype=jnp.bfloat16)
+    model = Denoiser(cfg)
+
+    n = 32
+    imgs = jnp.asarray(ctf_micrographs(n, 512, seed=555))
+    doses = jnp.asarray(np.linspace(25.0, 150.0, n).astype(np.float32))
+
+    @jax.jit
+    def make(imgs, doses):
+        def one(k, img, dose):
+            img = scale0to1(sanitize(img))
+            lq = poisson_dose(k, img, dose)
+            tgt = img * (jnp.mean(lq) / jnp.maximum(jnp.mean(img),
+                                                    1e-12))
+            return lq, tgt
+
+        keys = jax.random.split(jax.random.key(13), imgs.shape[0])
+        return jax.vmap(one)(keys, imgs, doses)
+
+    noisy, clean = make(imgs, doses)
+    if quant is not None:
+        nn_fn = jax.jit(quantized_apply(model, variables, quant["amax"],
+                                        quant["mode"],
+                                        skip=quant.get("skip", ())))
+    else:
+        nn_fn = jax.jit(lambda x: model.apply(variables, x, train=False))
+    results = compare_denoisers(noisy, clean, nn_fn=nn_fn)
+    float_psnr = _psnr(
+        jax.jit(lambda x: model.apply(variables, x, train=False))(noisy),
+        clean)
+    classical = {k: round(v["psnr"], 3) for k, v in results.items()
+                 if k != "nn"}
+    best = max(classical.items(), key=lambda kv: kv[1])
+    out = {"metric": "ood_check", "bundle": bundle,
+           "family": "ctf_micrographs",
+           "quant_mode": (quant or {}).get("mode", "float"),
+           "nn_psnr": round(results["nn"]["psnr"], 3),
+           "nn_float_psnr": float_psnr,
+           "identity_psnr": _psnr(noisy, clean),
+           "best_classical": list(best), "all": {
+               **classical, "nn": round(results["nn"]["psnr"], 3)}}
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "ood_check.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out), flush=True)
+    return out
+
+
 if __name__ == "__main__":
     a = sys.argv[1:]
     if a and a[0] == "calib":
         calib_independence(*a[1:])
+    elif a and a[0] == "ood":
+        ood_check(*a[1:])
     else:
         main(a[0] if a else "docs/runs/flagship/artifact.npz",
              a[1] if len(a) > 1 else "docs/runs/quant_r3",

