@@ -174,6 +174,18 @@ def main(artifact: str, out_dir: str = "docs/runs/quant_r3",
         if best is not None:
             dest = os.path.join(os.path.dirname(artifact) or ".",
                                 "artifact_int8.npz")
+            # Never regress an existing promoted bundle (same contract
+            # as emx.bench.qat_finetune: distilled bundles carry val
+            # PSNR far above a fresh PTQ of the same float artifact).
+            if os.path.exists(dest):
+                _, _, q_inc = load_denoiser_artifact(dest,
+                                                     with_quant=True)
+                incumbent = float((q_inc or {}).get("psnr", -1.0))
+                out["incumbent_psnr"] = incumbent
+                if out[f"{best}_psnr"] <= incumbent:
+                    best = None
+                    out["promoted_mode"] = None
+        if best is not None:
             save_denoiser_artifact(dest, cfg, variables, quant={
                 "mode": best, "amax": amax,
                 "skip": list(skips.get(best, ())),
