@@ -199,7 +199,8 @@ def main(artifact: str, out_dir: str = "docs/runs/qat_r3",
 def head_distill(artifact: str, out_dir: str = "docs/runs/qat_r3",
                  steps: int = 4000, batch: int = 16, lr: float = 1e-4,
                  psnr_gate: float | None = None,
-                 mode: str = "mxu", scope: str = "head") -> dict:
+                 mode: str = "mxu", scope: str = "head",
+                 corpus: str = "synthetic") -> dict:
     """Head-distillation QAT: the full fake-quant training graph (and
     even its head-only-gradient variant) exceeds the remote-compile
     relay's ~31-minute request ceiling, so train the folded head
@@ -215,7 +216,12 @@ def head_distill(artifact: str, out_dir: str = "docs/runs/qat_r3",
     37.30 -> 38.75 on the flagship), 'decoder' a further decoder stage
     earlier (38.75 -> 41.05 -> 42.69 over two iterations), 'decoder2'
     the whole decoder (two capture points; see FoldedHeadTail). The
-    tail input becomes (features..., raw batch)."""
+    tail input becomes (features..., raw batch).
+
+    `corpus` 'synthetic' (the artifact's training family) or 'mixed'
+    (adds CTF-lattice micrographs — the ood_check family the
+    synthetic-only bundle fails on). Every run also reports
+    `ood_psnr` on the held-out CTF ladder."""
     import dataclasses
 
     from emx.bench.quant_check import _psnr, _throughput, _val_ladder
@@ -243,7 +249,7 @@ def head_distill(artifact: str, out_dir: str = "docs/runs/qat_r3",
 
     out: dict = {"metric": "qat_head_distill", "artifact": artifact,
                  "mode": mode, "steps": steps, "batch": batch, "lr": lr,
-                 "scope": scope}
+                 "scope": scope, "corpus": corpus}
     out["float_psnr"] = _psnr(
         jax.jit(lambda x: model.apply(variables, x, train=False))(noisy),
         clean)
@@ -284,8 +290,14 @@ def head_distill(artifact: str, out_dir: str = "docs/runs/qat_r3",
     capture_fn = jax.jit(quantized_apply(model, variables, amax, mode,
                                          capture=caps))
 
-    train_imgs = jax.device_put(
-        jnp.asarray(synthetic_micrographs(1024, noisy.shape[-1], seed=0)))
+    if corpus == "mixed":
+        from emx.data.pipeline import mixed_micrographs
+
+        corpus_imgs = mixed_micrographs(1024, noisy.shape[-1], seed=0)
+    else:
+        corpus_imgs = synthetic_micrographs(1024, noisy.shape[-1],
+                                            seed=0)
+    train_imgs = jax.device_put(jnp.asarray(corpus_imgs))
     jax.block_until_ready(train_imgs)
     stage("corpus resident")
 
@@ -352,6 +364,15 @@ def head_distill(artifact: str, out_dir: str = "docs/runs/qat_r3",
         jax.jit(lambda x: model.apply(new_vars, x, train=False))(noisy),
         clean)
     out["qat_img_per_s"] = _throughput(qfn)
+    # Out-of-family robustness is reported for every distill run (the
+    # synthetic-only specialization was only caught once measured).
+    from emx.bench.quant_check import _ood_ladder
+
+    ood_noisy, ood_clean = _ood_ladder()
+    out["ood_psnr"] = _psnr(qfn(ood_noisy), ood_clean)
+    out["ood_psnr_before"] = _psnr(
+        jax.jit(quantized_apply(model, variables, amax, mode))(ood_noisy),
+        ood_clean)
 
     if psnr_gate is not None:
         out["psnr_gate"] = psnr_gate
@@ -377,6 +398,17 @@ def head_distill(artifact: str, out_dir: str = "docs/runs/qat_r3",
                         "head_modules": sorted(mapping)},
                 "img_per_s_at_check": out["qat_img_per_s"]})
             out["promoted_artifact"] = dest
+    # Keep the distilled bundle even when the flagship promotion gate
+    # does not fire (e.g. mixed-corpus generalist runs trade val-ladder
+    # PSNR for OOD robustness): session-local (gitignored), promoted
+    # manually if its tradeoff wins.
+    save_denoiser_artifact(os.path.join(out_dir, "bundle.npz"), cfg,
+                           new_vars, quant={
+        "mode": mode, "amax": amax2, "psnr": out["qat_psnr"],
+        "float_psnr": out["qat_float_psnr"],
+        "ood_psnr": out["ood_psnr"],
+        "qat": {"kind": "tail_distill", "scope": scope,
+                "corpus": corpus, "steps": steps}})
     name = {"head": "qat_head.json", "refine": "qat_tail.json",
             "decoder": "qat_tail_decoder.json",
             "decoder2": "qat_tail_decoder2.json"}[scope]
@@ -397,14 +429,11 @@ if __name__ == "__main__":
     )
     art = a[0] if a else "docs/runs/flagship/artifact.npz"
     sel = a[6] if len(a) > 6 else None
-    if sel == "head":
-        head_distill(art, **kw)
-    elif sel == "tail":
-        head_distill(art, scope="refine", **kw)
-    elif sel == "decoder":
-        head_distill(art, scope="decoder", **kw)
-    elif sel == "decoder2":
-        head_distill(art, scope="decoder2", **kw)
+    scopes = {"head": "head", "tail": "refine", "decoder": "decoder",
+              "decoder2": "decoder2"}
+    if sel in scopes:
+        head_distill(art, scope=scopes[sel],
+                     corpus=a[7] if len(a) > 7 else "synthetic", **kw)
     elif sel == "float":
         main(art, target="float",
              clean_weight=float(a[7]) if len(a) > 7 else 0.0, **kw)

@@ -36,7 +36,8 @@ import numpy as np
 def main(out_dir: str, s2d: int = 2, steps: int = 5000,
          batch: int = 16, full_res_head: int = 0,
          norm: str = "group", mid_res_head: int = 0,
-         folded_head: int = 0, init_from: str | None = None) -> dict:
+         folded_head: int = 0, init_from: str | None = None,
+         corpus: str = "synthetic") -> dict:
     from emx.analysis.filters import compare_denoisers
     from emx.data.degrade import denoiser_example, poisson_dose
     from emx.data.pipeline import DeviceDataset, PipelineConfig, \
@@ -61,7 +62,17 @@ def main(out_dir: str, s2d: int = 2, steps: int = 5000,
                        ckpt_every_steps=1000, model_dir=out_dir, seed=0)
     trainer = Trainer(model, tcfg, example_fn=denoiser_example)
 
-    train_imgs = synthetic_micrographs(1024, size, seed=0)
+    if corpus == "mixed":
+        # Diverse corpus (3/4 synthetic + 1/4 CTF lattices): the
+        # synthetic-only corpus produced a model at identity-level PSNR
+        # on lattice images (docs/runs/quant_r3/ood_check.json); the
+        # reference trains on a diverse real harvest
+        # (denoiser-multi-gpu.py:84-92).
+        from emx.data.pipeline import mixed_micrographs
+
+        train_imgs = mixed_micrographs(1024, size, seed=0)
+    else:
+        train_imgs = synthetic_micrographs(1024, size, seed=0)
     val_imgs = synthetic_micrographs(32, size, seed=999)
     pipe = DeviceDataset(train_imgs,
                          PipelineConfig(batch_size=batch, crop_size=size))
@@ -180,8 +191,16 @@ def main(out_dir: str, s2d: int = 2, steps: int = 5000,
     save_err_hists(results, os.path.join(out_dir, "err_hist"))
     results = {k: {m: v for m, v in r.items() if m in ("mse", "psnr")}
                for k, r in results.items()}
+    # Out-of-family robustness row (CTF-lattice ladder) — the point of
+    # corpus='mixed'; reported for every run so the tradeoff is visible.
+    from emx.bench.quant_check import _ood_ladder, _psnr as _psnr_m
+
+    ood_noisy, ood_clean = _ood_ladder()
+    ood_psnr = _psnr_m(nn_fn(ood_noisy), ood_clean)
+
     summary = {
-        "metric": "quality_anchor",
+        "metric": "quality_anchor", "corpus": corpus,
+        "ood_psnr": ood_psnr,
         "s2d": s2d, "steps": int(state.step), "batch": batch,
         "full_res_head": full_res_head, "mid_res_head": mid_res_head,
         "folded_head": folded_head, "norm": norm,
@@ -212,4 +231,5 @@ if __name__ == "__main__":
          a[5] if len(a) > 5 else "group",
          int(a[6]) if len(a) > 6 else 0,
          int(a[7]) if len(a) > 7 else 0,
-         a[8] if len(a) > 8 else None)
+         a[8] if len(a) > 8 and a[8] != "none" else None,
+         a[9] if len(a) > 9 else "synthetic")

@@ -44,6 +44,32 @@ def _val_ladder(n=32, size=512):
     return make(imgs, doses)
 
 
+def _ood_ladder(n=32, size=512):
+    """Held-out OUT-OF-FAMILY ladder: CTF-lattice micrographs
+    (emx.data.pipeline.ctf_micrographs, seed 555 — disjoint from the
+    mixed training corpus's ctf seed) under the same low-dose range."""
+    from emx.data.degrade import poisson_dose
+    from emx.data.pipeline import ctf_micrographs
+    from emx.utils.image import sanitize, scale0to1
+
+    imgs = jnp.asarray(ctf_micrographs(n, size, seed=555))
+    doses = jnp.asarray(np.linspace(25.0, 150.0, n).astype(np.float32))
+
+    @jax.jit
+    def make(imgs, doses):
+        def one(k, img, dose):
+            img = scale0to1(sanitize(img))
+            lq = poisson_dose(k, img, dose)
+            tgt = img * (jnp.mean(lq) / jnp.maximum(jnp.mean(img),
+                                                    1e-12))
+            return lq, tgt
+
+        keys = jax.random.split(jax.random.key(13), imgs.shape[0])
+        return jax.vmap(one)(keys, imgs, doses)
+
+    return make(imgs, doses)
+
+
 def _psnr(pred, truth):
     from emx.utils.image import psnr
 
@@ -258,35 +284,16 @@ def ood_check(bundle: str = "docs/runs/flagship/artifact_int8.npz",
     import dataclasses
 
     from emx.analysis.filters import compare_denoisers
-    from emx.data.degrade import poisson_dose
-    from emx.data.pipeline import ctf_micrographs
     from emx.nn import Denoiser
     from emx.serve.artifact import load_denoiser_artifact
     from emx.serve.quantize import quantized_apply
-    from emx.utils.image import sanitize, scale0to1
 
     cfg, variables, quant = load_denoiser_artifact(bundle,
                                                    with_quant=True)
     cfg = dataclasses.replace(cfg, dtype=jnp.bfloat16)
     model = Denoiser(cfg)
 
-    n = 32
-    imgs = jnp.asarray(ctf_micrographs(n, 512, seed=555))
-    doses = jnp.asarray(np.linspace(25.0, 150.0, n).astype(np.float32))
-
-    @jax.jit
-    def make(imgs, doses):
-        def one(k, img, dose):
-            img = scale0to1(sanitize(img))
-            lq = poisson_dose(k, img, dose)
-            tgt = img * (jnp.mean(lq) / jnp.maximum(jnp.mean(img),
-                                                    1e-12))
-            return lq, tgt
-
-        keys = jax.random.split(jax.random.key(13), imgs.shape[0])
-        return jax.vmap(one)(keys, imgs, doses)
-
-    noisy, clean = make(imgs, doses)
+    noisy, clean = _ood_ladder()
     if quant is not None:
         nn_fn = jax.jit(quantized_apply(model, variables, quant["amax"],
                                         quant["mode"],

@@ -313,3 +313,20 @@ def ctf_micrographs(n: int, size: int = 512, seed: int = 0) -> np.ndarray:
 
     return np.asarray(render(jnp.asarray(deltas), jnp.asarray(defocus),
                              jnp.asarray(sigma)), np.float32)
+
+
+def mixed_micrographs(n: int, size: int = 512, seed: int = 0) -> np.ndarray:
+    """Diverse training corpus: 3/4 `synthetic_micrographs` + 1/4
+    `ctf_micrographs`, shuffled. The reference trains on a diverse real
+    harvest (denoiser-multi-gpu.py:84-92); a single synthetic family is
+    too narrow a stand-in — the ood_check measured a tail-distilled
+    bundle at identity-level PSNR on CTF-lattice images it never saw.
+    Seeds are offset so no eval ladder leaks in (val: synthetic seed
+    999, ood: ctf seed 555)."""
+    n_ctf = n // 4
+    a = synthetic_micrographs(n - n_ctf, size, seed=seed)
+    b = ctf_micrographs(n_ctf, size, seed=seed + 10_000)
+    out = np.concatenate([a, b], axis=0)
+    rng = np.random.default_rng(seed + 20_000)
+    rng.shuffle(out)
+    return out

@@ -202,3 +202,14 @@ def test_ctf_micrographs_out_of_family():
     # deterministic in seed
     y = ctf_micrographs(2, 128, seed=3)
     np.testing.assert_allclose(x, y)
+
+
+def test_mixed_micrographs_composition():
+    import numpy as np
+
+    from emx.data.pipeline import mixed_micrographs
+
+    x = mixed_micrographs(8, 64, seed=5)
+    assert x.shape == (8, 64, 64) and np.isfinite(x).all()
+    y = mixed_micrographs(8, 64, seed=5)
+    np.testing.assert_allclose(x, y)  # deterministic
