@@ -1,0 +1,143 @@
+"""Choose which deployment bundle ships as the flagship.
+
+The round-3 corpus finding (docs/runs/quant_r3/ood_check.json) is that
+in-family PSNR alone is a bad promotion criterion: the synthetic-corpus
+bundle reached 44.5 dB on the synthetic val ladder while scoring at
+identity level (23.7 dB) on CTF-lattice images. This module makes the
+tradeoff explicit: every candidate bundle is scored on
+
+  - the in-family val ladder (synthetic seed 999),
+  - the CTF-lattice ladder (seed 555; held-out-in-family for
+    mixed-corpus models),
+  - the grains ladder (polycrystalline Voronoi; EVAL-ONLY, never in any
+    training corpus — the true OOD probe),
+  - serving throughput (img/s, same chained-scan protocol bench.py uses),
+
+and the winner is chosen by a documented policy:
+
+  1. hard gates: val PSNR >= the classical bar AND throughput >= the
+     throughput bar (BASELINE.md couples the two; reference contract
+     machine_learning/denoiser.py:584-682 — the served model IS the
+     trained model);
+  2. among gate-passers, maximise the WORST per-family margin over that
+     family's best classical filter (maximin robustness — a model that
+     loses to a Wiener filter on any family is not "better than
+     classical");
+  3. ties (within 0.1 dB of maximin margin) break by val PSNR.
+
+`--promote` copies the winning bundle over the flagship path so
+bench.py and the server pick it up; DECISION.json records the full
+table either way.
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+
+import jax
+import jax.numpy as jnp
+
+from emx.bench.quant_check import (_ood_ladder, _psnr, _throughput,
+                                   _val_ladder)
+
+FLAGSHIP = "docs/runs/flagship/artifact_int8.npz"
+
+
+def _score_bundle(bundle: str, ladders: dict) -> dict:
+    import dataclasses
+
+    from emx.analysis.filters import compare_denoisers
+    from emx.nn import Denoiser
+    from emx.serve.artifact import load_denoiser_artifact
+    from emx.serve.quantize import quantized_apply
+
+    cfg, variables, quant = load_denoiser_artifact(bundle,
+                                                   with_quant=True)
+    cfg = dataclasses.replace(cfg, dtype=jnp.bfloat16)
+    model = Denoiser(cfg)
+    if quant is not None:
+        nn_fn = jax.jit(quantized_apply(model, variables, quant["amax"],
+                                        quant["mode"],
+                                        skip=quant.get("skip", ())))
+    else:
+        nn_fn = jax.jit(lambda x: model.apply(variables, x, train=False))
+
+    row = {"bundle": bundle,
+           "quant_mode": (quant or {}).get("mode", "float")}
+    for fam, (noisy, clean) in ladders.items():
+        res = compare_denoisers(noisy, clean, nn_fn=nn_fn)
+        classical = {k: round(v["psnr"], 3) for k, v in res.items()
+                     if k != "nn"}
+        best = max(classical.items(), key=lambda kv: kv[1])
+        nn = round(res["nn"]["psnr"], 3)
+        row[fam] = {"nn_psnr": nn, "best_classical": list(best),
+                    "margin": round(nn - best[1], 3),
+                    "identity_psnr": _psnr(noisy, clean)}
+    row["img_per_s"] = _throughput(nn_fn)
+    return row
+
+
+def select_winner(rows: list[dict], psnr_gate: float, rate_gate: float,
+                  families=("val", "ood_ctf", "ood_grains")):
+    """Pure policy: hard gates, then maximin per-family margin, ties
+    (within 0.1 dB) by val PSNR. Returns the winning row or None."""
+    def eligible(r):
+        return (r["val"]["nn_psnr"] >= psnr_gate
+                and r["img_per_s"] >= rate_gate)
+
+    def maximin(r):
+        return min(r[f]["margin"] for f in families)
+
+    passing = [r for r in rows if eligible(r)]
+    if not passing:
+        return None
+    best_mm = max(maximin(r) for r in passing)
+    near = [r for r in passing if maximin(r) >= best_mm - 0.1]
+    return max(near, key=lambda r: r["val"]["nn_psnr"])
+
+
+def main(out_dir: str = "docs/runs/flagship",
+         candidates: list[str] | None = None,
+         psnr_gate: float = 36.01258850097656,
+         rate_gate: float = 5000.0,
+         promote: bool = False) -> dict:
+    candidates = candidates or [FLAGSHIP]
+    ladders = {"val": _val_ladder(),
+               "ood_ctf": _ood_ladder(family="ctf"),
+               "ood_grains": _ood_ladder(family="grains")}
+    rows = [_score_bundle(b, ladders) for b in candidates]
+
+    def maximin(r):
+        return min(r[f]["margin"] for f in ladders)
+
+    winner = select_winner(rows, psnr_gate, rate_gate,
+                           families=tuple(ladders))
+    out = {"metric": "flagship_decision",
+           "policy": "gates(val>=%.2f dB, >=%.0f img/s) then maximin "
+                     "per-family margin over best classical, ties by "
+                     "val PSNR" % (psnr_gate, rate_gate),
+           "candidates": rows,
+           "winner": winner["bundle"] if winner else None,
+           "winner_maximin_margin": (round(maximin(winner), 3)
+                                     if winner else None),
+           "promoted": False}
+    if promote and winner and os.path.abspath(
+            winner["bundle"]) != os.path.abspath(FLAGSHIP):
+        shutil.copyfile(winner["bundle"], FLAGSHIP)
+        out["promoted"] = True
+        out["promoted_to"] = FLAGSHIP
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "DECISION.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out), flush=True)
+    return out
+
+
+if __name__ == "__main__":
+    a = sys.argv[1:]
+    promote = "--promote" in a
+    a = [x for x in a if x != "--promote"]
+    main(a[0] if a else "docs/runs/flagship",
+         a[1:] or None, promote=promote)

@@ -44,15 +44,21 @@ def _val_ladder(n=32, size=512):
     return make(imgs, doses)
 
 
-def _ood_ladder(n=32, size=512):
-    """Held-out OUT-OF-FAMILY ladder: CTF-lattice micrographs
-    (emx.data.pipeline.ctf_micrographs, seed 555 — disjoint from the
-    mixed training corpus's ctf seed) under the same low-dose range."""
+def _ood_ladder(n=32, size=512, family="ctf"):
+    """Held-out OUT-OF-FAMILY ladder under the same low-dose range.
+    family='ctf': CTF-lattice micrographs (seed 555 — disjoint from the
+    mixed training corpus's ctf seed; held-out-in-family once the model
+    trains on corpus='mixed'). family='grains': polycrystalline Voronoi
+    micrographs — NEVER in any training corpus, the true OOD probe for
+    mixed-corpus models."""
     from emx.data.degrade import poisson_dose
-    from emx.data.pipeline import ctf_micrographs
+    from emx.data.pipeline import ctf_micrographs, grain_micrographs
     from emx.utils.image import sanitize, scale0to1
 
-    imgs = jnp.asarray(ctf_micrographs(n, size, seed=555))
+    if family == "grains":
+        imgs = jnp.asarray(grain_micrographs(n, size, seed=321))
+    else:
+        imgs = jnp.asarray(ctf_micrographs(n, size, seed=555))
     doses = jnp.asarray(np.linspace(25.0, 150.0, n).astype(np.float32))
 
     @jax.jit
@@ -274,13 +280,16 @@ def calib_independence(bundle: str = "docs/runs/flagship/artifact_int8.npz",
 
 
 def ood_check(bundle: str = "docs/runs/flagship/artifact_int8.npz",
-              out_dir: str = "docs/runs/quant_r3") -> dict:
-    """Robustness evidence on an OUT-OF-FAMILY ladder: weak-phase CTF
-    images of atomic lattices (emx.data.pipeline.ctf_micrographs — a
-    family the denoiser never trains on) under the same low-dose
-    Poisson ladder, scored for the served bundle, its float twin, and
-    every classical filter (the reference err_hist workload,
-    misc_py/err_hist_maker.py:1-175, on a harder domain)."""
+              out_dir: str = "docs/runs/quant_r3",
+              family: str = "ctf") -> dict:
+    """Robustness evidence on an OUT-OF-FAMILY ladder, scored for the
+    served bundle, its float twin, and every classical filter (the
+    reference err_hist workload, misc_py/err_hist_maker.py:1-175, on a
+    harder domain). family='ctf': weak-phase CTF lattice images
+    (held-out-in-family once the model trains on corpus='mixed');
+    family='grains': polycrystalline Voronoi micrographs — eval-only,
+    never in any training corpus. Writes ood_check.json (ctf) or
+    ood_check_<family>.json."""
     import dataclasses
 
     from emx.analysis.filters import compare_denoisers
@@ -293,7 +302,7 @@ def ood_check(bundle: str = "docs/runs/flagship/artifact_int8.npz",
     cfg = dataclasses.replace(cfg, dtype=jnp.bfloat16)
     model = Denoiser(cfg)
 
-    noisy, clean = _ood_ladder()
+    noisy, clean = _ood_ladder(family=family)
     if quant is not None:
         nn_fn = jax.jit(quantized_apply(model, variables, quant["amax"],
                                         quant["mode"],
@@ -308,7 +317,8 @@ def ood_check(bundle: str = "docs/runs/flagship/artifact_int8.npz",
                  if k != "nn"}
     best = max(classical.items(), key=lambda kv: kv[1])
     out = {"metric": "ood_check", "bundle": bundle,
-           "family": "ctf_micrographs",
+           "family": ("grain_micrographs" if family == "grains"
+                      else "ctf_micrographs"),
            "quant_mode": (quant or {}).get("mode", "float"),
            "nn_psnr": round(results["nn"]["psnr"], 3),
            "nn_float_psnr": float_psnr,
@@ -316,7 +326,9 @@ def ood_check(bundle: str = "docs/runs/flagship/artifact_int8.npz",
            "best_classical": list(best), "all": {
                **classical, "nn": round(results["nn"]["psnr"], 3)}}
     os.makedirs(out_dir, exist_ok=True)
-    with open(os.path.join(out_dir, "ood_check.json"), "w") as f:
+    name = ("ood_check.json" if family == "ctf"
+            else f"ood_check_{family}.json")
+    with open(os.path.join(out_dir, name), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out), flush=True)
     return out

@@ -315,6 +315,45 @@ def ctf_micrographs(n: int, size: int = 512, seed: int = 0) -> np.ndarray:
                              jnp.asarray(sigma)), np.float32)
 
 
+def grain_micrographs(n: int, size: int = 512, seed: int = 0) -> np.ndarray:
+    """SECOND out-of-family evaluation family: polycrystalline
+    micrographs — Voronoi grains, each with its own lattice-fringe
+    orientation/frequency/brightness, separated by dark boundary
+    grooves. Distinct from BOTH training families (the blob+global-
+    fringe `synthetic_micrographs` and the point-atom CTF
+    `ctf_micrographs`): piecewise-stationary texture with sharp
+    orientation discontinuities. EVAL-ONLY — never enters any training
+    corpus, so it stays a true OOD probe for mixed-corpus models
+    (emx.bench.quant_check ood, family='grains')."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
+    out = np.empty((n, size, size), np.float32)
+    for i in range(n):
+        k = int(rng.integers(6, 16))
+        pts = rng.uniform(0, size, (k, 2)).astype(np.float32)
+        d2 = ((yy[..., None] - pts[:, 0]) ** 2
+              + (xx[..., None] - pts[:, 1]) ** 2)
+        lab = np.argmin(d2, axis=-1)
+        d2s = np.partition(d2, 1, axis=-1)
+        # Distance-to-boundary proxy: gap between nearest two seeds.
+        edge = np.sqrt(d2s[..., 1]) - np.sqrt(d2s[..., 0])
+        img = np.zeros((size, size), np.float32)
+        for g in range(k):
+            f = rng.uniform(15.0, 50.0)
+            ang = rng.uniform(0, np.pi)
+            ph = rng.uniform(0, 2 * np.pi)
+            base = rng.uniform(0.35, 0.7)
+            fr = base + 0.15 * np.sin(
+                2 * np.pi * f * (np.cos(ang) * xx + np.sin(ang) * yy)
+                / size + ph)
+            m = lab == g
+            img[m] = fr[m]
+        img = img * (1.0 - 0.5 * np.exp(-(edge / 2.0) ** 2))
+        lo, hi = img.min(), img.max()
+        out[i] = (img - lo) / max(hi - lo, 1e-9)
+    return out
+
+
 def mixed_micrographs(n: int, size: int = 512, seed: int = 0) -> np.ndarray:
     """Diverse training corpus: 3/4 `synthetic_micrographs` + 1/4
     `ctf_micrographs`, shuffled. The reference trains on a diverse real

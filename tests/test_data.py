@@ -204,6 +204,35 @@ def test_ctf_micrographs_out_of_family():
     np.testing.assert_allclose(x, y)
 
 
+def test_grain_micrographs_second_ood_family():
+    """Second, EVAL-ONLY OOD family (quant_check ood family='grains'):
+    polycrystalline Voronoi grains. Must be finite, [0,1],
+    deterministic, and piecewise-textured (several distinct grains ->
+    local orientation varies across the image: the dominant gradient
+    direction in one quadrant differs from another)."""
+    import numpy as np
+
+    from emx.data.pipeline import grain_micrographs
+
+    x = grain_micrographs(2, 128, seed=3)
+    assert x.shape == (2, 128, 128) and np.isfinite(x).all()
+    assert -1e-6 <= x.min() and x.max() <= 1 + 1e-5
+    y = grain_micrographs(2, 128, seed=3)
+    np.testing.assert_allclose(x, y)
+    # Piecewise texture: per-quadrant dominant gradient angle must not
+    # be globally constant (a single global fringe would make them all
+    # agree within ~5 degrees).
+    gy, gx = np.gradient(x[0])
+    angs = []
+    for sy in (slice(0, 64), slice(64, 128)):
+        for sx in (slice(0, 64), slice(64, 128)):
+            a = np.arctan2(gy[sy, sx], gx[sy, sx]) % np.pi
+            # circular mean over orientation (period pi)
+            angs.append(0.5 * np.angle(np.mean(np.exp(2j * a))))
+    spread = np.ptp(angs)
+    assert spread > 0.15, f"quadrant orientations too uniform: {angs}"
+
+
 def test_mixed_micrographs_composition():
     import numpy as np
 

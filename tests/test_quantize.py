@@ -252,3 +252,42 @@ def test_decoder2_tail_replicates_full_model():
                           (cat1, cat2[..., f2:], x))
     np.testing.assert_allclose(np.asarray(tail_out),
                                np.asarray(full_out), atol=1e-6)
+
+
+def test_flagship_decision_policy():
+    """select_winner: hard gates (val PSNR + throughput), then maximin
+    per-family classical margin, ties by val PSNR — the documented
+    policy that prevents an in-family-only bundle from shipping when a
+    robust bundle exists (docs/runs/quant_r3/ood_check.json motivation)."""
+    from emx.bench.flagship_decision import select_winner
+
+    def row(name, val, ctf, grains, rate, bars=(36.0, 29.5, 25.0)):
+        fams = {"val": (val, bars[0]), "ood_ctf": (ctf, bars[1]),
+                "ood_grains": (grains, bars[2])}
+        r = {"bundle": name, "img_per_s": rate}
+        for f, (nn, bar) in fams.items():
+            r[f] = {"nn_psnr": nn, "best_classical": ["x", bar],
+                    "margin": round(nn - bar, 3)}
+        return r
+
+    # Synthetic-overfit bundle: huge val margin, loses OOD.
+    overfit = row("overfit", 44.5, 23.7, 24.0, 5380.0)
+    # Robust bundle: smaller val margin, wins everywhere.
+    robust = row("robust", 41.0, 31.0, 27.0, 5340.0)
+    # Fails the throughput gate despite the best margins.
+    slow = row("slow", 43.0, 33.0, 30.0, 1500.0)
+    # Fails the val gate.
+    weak = row("weak", 35.0, 31.0, 28.0, 6000.0)
+
+    w = select_winner([overfit, robust, slow, weak], 36.01, 5000.0)
+    assert w["bundle"] == "robust"
+    # Without the robust candidate, the overfit one still ships (it
+    # passes the hard gates; maximin only ranks the eligible set).
+    w = select_winner([overfit, slow, weak], 36.01, 5000.0)
+    assert w["bundle"] == "overfit"
+    # Nobody eligible -> None.
+    assert select_winner([slow, weak], 36.01, 5000.0) is None
+    # Maximin tie within 0.1 dB -> higher val PSNR wins.
+    a = row("a", 40.0, 31.00, 27.0, 5100.0)
+    b = row("b", 42.0, 30.95, 27.0, 5100.0)
+    assert select_winner([a, b], 36.01, 5000.0)["bundle"] == "b"
