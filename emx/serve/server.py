@@ -48,9 +48,16 @@ class InferenceServer:
         input_shape: tuple[int, int] | None = None,
         model_info: dict | None = None,
         request_timeout_s: float = 120.0,
+        pad_batches: bool = False,
     ):
         self.apply_fn = apply_fn
         self.max_batch = max_batch
+        # Pad ragged dispatch groups up to the next power of two so a
+        # jitted apply_fn compiles at most log2(max_batch)+1 programs
+        # instead of one per distinct group size (XLA recompiles on any
+        # shape change; under bursty load every batch size 1..max_batch
+        # appears). Padding rows are copies of row 0 and are sliced off.
+        self.pad_batches = pad_batches
         self.request_timeout_s = request_timeout_s
         self.input_shape = input_shape
         self.model_info = model_info or {}
@@ -158,7 +165,16 @@ class InferenceServer:
                     continue
                 try:
                     stacked = np.stack([p.img for p in group])
-                    out = np.asarray(self.apply_fn(stacked))
+                    n = stacked.shape[0]
+                    if self.pad_batches:
+                        m = 1
+                        while m < n:
+                            m *= 2
+                        if m > n:
+                            stacked = np.concatenate(
+                                [stacked,
+                                 np.repeat(stacked[:1], m - n, axis=0)])
+                    out = np.asarray(self.apply_fn(stacked))[:n]
                     self.metrics["launches"] += 1
                     for p, o in zip(group, out):
                         p.result = o
@@ -192,17 +208,20 @@ def serve_artifact(artifact_path: str, **kw) -> InferenceServer:
             artifact_path, with_quant=True)
         model = Denoiser(cfg)
 
+        import jax as _jax
+
         if quant is not None:
             # int8-promoted bundle: serve the gate-checked quantized
             # graph — the same program bench.py measures.
             from emx.serve.quantize import quantized_apply
 
-            apply_fn = quantized_apply(model, variables, quant["amax"],
-                                       mode=quant["mode"],
-                                       skip=quant.get("skip", ()))
+            apply_fn = _jax.jit(quantized_apply(
+                model, variables, quant["amax"], mode=quant["mode"],
+                skip=quant.get("skip", ())))
         else:
-            def apply_fn(x):
-                return model.apply(variables, x, train=False)
+            apply_fn = _jax.jit(
+                lambda x: model.apply(variables, x, train=False))
+        kw.setdefault("pad_batches", True)
 
         info = {"model": "denoiser", "s2d": cfg.space_to_depth,
                 "folded_head": cfg.folded_head,

@@ -215,8 +215,11 @@ def test_serve_int8_promoted_bundle(tmp_path):
     save_denoiser_artifact(p, cfg, variables,
                            quant={"mode": "mxu", "amax": amax,
                                   "psnr": 1.0})
+    # serve_artifact jits the quantized graph; compare against the same
+    # jitted program — int8 rounding can turn a 1-ulp float difference
+    # between eager and compiled into a full quantization step.
     expect = np.asarray(
-        quantized_apply(model, variables, amax, "mxu")(x))[0]
+        jax.jit(quantized_apply(model, variables, amax, "mxu"))(x))[0]
 
     srv = serve_artifact(p, port=0)
     try:
@@ -230,5 +233,42 @@ def test_serve_int8_promoted_bundle(tmp_path):
         with urllib.request.urlopen(
                 f"http://127.0.0.1:{srv.port}/healthz", timeout=30) as r:
             assert json.loads(r.read())["quant"] == "mxu"
+    finally:
+        srv.stop()
+
+
+def test_inference_server_pads_to_power_of_two():
+    """pad_batches: every device launch sees a power-of-two batch (so a
+    jitted apply_fn compiles at most log2(max_batch)+1 programs), and
+    padded rows never leak into responses."""
+    import threading
+
+    from emx.serve.server import InferenceServer
+
+    seen = []
+
+    def apply_fn(x):
+        seen.append(x.shape[0])
+        return x + 1.0
+
+    srv = InferenceServer(apply_fn, port=0, max_batch=8,
+                          pad_batches=True)
+    srv.start()
+    try:
+        results = [None] * 5
+
+        def call(i):
+            img = np.full((4, 4), float(i), np.float32)
+            results[i] = (img, _post_npy(srv.port, img))
+
+        threads = [threading.Thread(target=call, args=(i,))
+                   for i in range(5)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for img, out in results:
+            np.testing.assert_allclose(out, img + 1.0)
+        assert seen and all(b in (1, 2, 4, 8) for b in seen), seen
     finally:
         srv.stop()
