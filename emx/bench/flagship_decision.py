@@ -104,6 +104,8 @@ def main(out_dir: str = "docs/runs/flagship",
          rate_gate: float = 5000.0,
          promote: bool = False) -> dict:
     candidates = candidates or [FLAGSHIP]
+    missing = [b for b in candidates if not os.path.exists(b)]
+    candidates = [b for b in candidates if os.path.exists(b)]
     ladders = {"val": _val_ladder(),
                "ood_ctf": _ood_ladder(family="ctf"),
                "ood_grains": _ood_ladder(family="grains")}
@@ -118,7 +120,7 @@ def main(out_dir: str = "docs/runs/flagship",
            "policy": "gates(val>=%.2f dB, >=%.0f img/s) then maximin "
                      "per-family margin over best classical, ties by "
                      "val PSNR" % (psnr_gate, rate_gate),
-           "candidates": rows,
+           "candidates": rows, "missing_candidates": missing,
            "winner": winner["bundle"] if winner else None,
            "winner_maximin_margin": (round(maximin(winner), 3)
                                      if winner else None),
