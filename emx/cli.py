@@ -181,12 +181,16 @@ def serve(argv: list[str]) -> None:
         host: str = config_field("127.0.0.1", "bind host")
         port: int = config_field(8501, "bind port")
         max_batch: int = config_field(8, "micro-batch size")
+        tile: int = config_field(512, "native tile; other sizes are "
+                                 "served via overlapped tiling")
+        overlap: int = config_field(80, "tile overlap (px)")
 
     from emx.serve.server import serve_artifact
 
     c = ServeConfig.from_args(argv)
     srv = serve_artifact(c.artifact, host=c.host, port=c.port,
-                         max_batch=c.max_batch)
+                         max_batch=c.max_batch, tile=c.tile,
+                         overlap=c.overlap)
     print(f"serving {c.artifact} on {c.host}:{srv.port}")
     import time
 

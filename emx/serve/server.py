@@ -49,9 +49,20 @@ class InferenceServer:
         model_info: dict | None = None,
         request_timeout_s: float = 120.0,
         pad_batches: bool = False,
+        oversize_fn: Callable[[np.ndarray], np.ndarray] | None = None,
+        tile_size: int = 512,
     ):
         self.apply_fn = apply_fn
         self.max_batch = max_batch
+        # Arbitrary-size serving (reference Denoiser.denoise,
+        # machine_learning/denoiser.py:653-682): a 2D image whose shape
+        # is not the native tile is routed through `oversize_fn`
+        # (overlapped tiling) instead of the fixed-shape micro-batcher.
+        # Serialized by a lock: concurrent 8k^2 requests would
+        # otherwise race device memory.
+        self.oversize_fn = oversize_fn
+        self.tile_size = tile_size
+        self._oversize_lock = threading.Lock()
         # Pad ragged dispatch groups up to the next power of two so a
         # jitted apply_fn compiles at most log2(max_batch)+1 programs
         # instead of one per distinct group size (XLA recompiles on any
@@ -106,6 +117,33 @@ class InferenceServer:
                     self.send_response(400)
                     self.end_headers()
                     self.wfile.write(str(e).encode())
+                    return
+                if (server.oversize_fn is not None and img.ndim == 2
+                        and img.shape != (server.tile_size,
+                                          server.tile_size)):
+                    try:
+                        with server._oversize_lock:
+                            out = np.asarray(server.oversize_fn(
+                                np.asarray(img, np.float32)))
+                        server.metrics["launches"] += 1
+                    except Exception as e:
+                        server.metrics["errors"] += 1
+                        self.send_response(500)
+                        self.end_headers()
+                        self.wfile.write(str(e).encode())
+                        return
+                    server.metrics["total_latency_s"] += (
+                        time.perf_counter() - t0)
+                    buf = io.BytesIO()
+                    np.save(buf, out)
+                    raw_out = buf.getvalue()
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "application/octet-stream")
+                    self.send_header("Content-Length",
+                                     str(len(raw_out)))
+                    self.end_headers()
+                    self.wfile.write(raw_out)
                     return
                 pending = _Pending(np.asarray(img, np.float32))
                 server._q.put(pending)
@@ -194,10 +232,14 @@ class InferenceServer:
         self.httpd.shutdown()
 
 
-def serve_artifact(artifact_path: str, **kw) -> InferenceServer:
+def serve_artifact(artifact_path: str, tile: int = 512,
+                   overlap: int = 80, **kw) -> InferenceServer:
     """Serve either artifact format: the generic directory artifact
     (emx.serve.export) or a one-file .npz denoiser deployment bundle
-    (emx.serve.artifact — the folded graph bench.py measures)."""
+    (emx.serve.artifact — the folded graph bench.py measures).
+    Denoiser bundles serve ARBITRARY-size 2D images: native-tile
+    requests go through the micro-batcher; anything else through
+    overlapped tiling (reference Denoiser.denoise semantics)."""
     import os as _os
 
     if artifact_path.endswith(".npz") or _os.path.isfile(artifact_path):
@@ -222,10 +264,19 @@ def serve_artifact(artifact_path: str, **kw) -> InferenceServer:
             apply_fn = _jax.jit(
                 lambda x: model.apply(variables, x, train=False))
         kw.setdefault("pad_batches", True)
+        from emx.serve.tiling import tiled_apply
+
+        def oversize_fn(img, _fn=apply_fn):
+            return tiled_apply(_fn, img, tile=tile, overlap=overlap,
+                               batch=8)
+
+        kw.setdefault("oversize_fn", oversize_fn)
+        kw.setdefault("tile_size", tile)
 
         info = {"model": "denoiser", "s2d": cfg.space_to_depth,
                 "folded_head": cfg.folded_head,
-                "quant": None if quant is None else quant["mode"]}
+                "quant": None if quant is None else quant["mode"],
+                "tile": tile, "overlap": overlap}
     else:
         from emx.serve.export import load_artifact
 

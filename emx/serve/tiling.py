@@ -85,12 +85,26 @@ def tiled_apply(apply_fn, img, tile: int = 512, overlap: int = 80,
     arbitrary-size image with overlap averaging."""
     img = jnp.asarray(img, jnp.float32)
     if img.shape[-1] < tile or img.shape[-2] < tile:
-        # Pad small images up to one tile, crop back after.
-        ph = max(0, tile - img.shape[-2])
-        pw = max(0, tile - img.shape[-1])
-        padded = jnp.pad(img, ((0, ph), (0, pw)), mode="reflect")
+        # Pad small images up to one tile, crop back after. Reflect
+        # padding caps each step at dim-1, so images much smaller than
+        # the tile (e.g. a 64^2 crop served by a 512-tile model) are
+        # grown by repeated reflection.
+        h, w = img.shape[-2], img.shape[-1]
+        padded = img
+        while padded.shape[-2] < tile or padded.shape[-1] < tile:
+            ph = min(max(0, tile - padded.shape[-2]),
+                     padded.shape[-2] - 1)
+            pw = min(max(0, tile - padded.shape[-1]),
+                     padded.shape[-1] - 1)
+            if ph == 0 and pw == 0:
+                # Degenerate 1-pixel extent: reflect cannot grow it.
+                padded = jnp.pad(
+                    padded, ((0, tile - padded.shape[-2]),
+                             (0, tile - padded.shape[-1])), mode="edge")
+                break
+            padded = jnp.pad(padded, ((0, ph), (0, pw)), mode="reflect")
         out = _tiled_apply(apply_fn, padded, tile, overlap, batch)
-        return out[: img.shape[-2], : img.shape[-1]]
+        return out[:h, :w]
     return _tiled_apply(apply_fn, img, tile, overlap, batch)
 
 

@@ -26,6 +26,19 @@ def test_tiled_apply_small_image_pads():
     np.testing.assert_allclose(np.asarray(out), img, atol=1e-5)
 
 
+def test_tiled_apply_pad_exceeding_dim():
+    """Images much smaller than the tile (pad width >= dim, where a
+    single reflect pad raises) are grown by repeated reflection —
+    the serving path routes every non-native-size request here."""
+    from emx.serve.tiling import tiled_apply
+
+    img = np.random.default_rng(4).random((20, 30)).astype(np.float32)
+    out = tiled_apply(lambda x: x, jnp.asarray(img), tile=128,
+                      overlap=16, batch=2)
+    assert out.shape == (20, 30)
+    np.testing.assert_allclose(np.asarray(out), img, atol=1e-5)
+
+
 def test_tiled_applier_with_model():
     from emx.nn import Denoiser, DenoiserConfig
     from emx.serve.tiling import TiledApplier
@@ -174,7 +187,7 @@ def test_serve_npz_denoiser_bundle(tmp_path):
     p = str(tmp_path / "artifact.npz")
     save_denoiser_artifact(p, cfg, variables)
 
-    srv = serve_artifact(p, port=0)
+    srv = serve_artifact(p, tile=64, port=0)
     try:
         buf = io.BytesIO()
         np.save(buf, np.random.default_rng(0).random((64, 64)).astype(
@@ -221,7 +234,9 @@ def test_serve_int8_promoted_bundle(tmp_path):
     expect = np.asarray(
         jax.jit(quantized_apply(model, variables, amax, "mxu"))(x))[0]
 
-    srv = serve_artifact(p, port=0)
+    # tile=64: the 64^2 request is the NATIVE size -> micro-batch path
+    # (otherwise it would be served through overlapped tiling).
+    srv = serve_artifact(p, tile=64, port=0)
     try:
         buf = io.BytesIO()
         np.save(buf, np.asarray(x[0]))
@@ -270,5 +285,46 @@ def test_inference_server_pads_to_power_of_two():
         for img, out in results:
             np.testing.assert_allclose(out, img + 1.0)
         assert seen and all(b in (1, 2, 4, 8) for b in seen), seen
+    finally:
+        srv.stop()
+
+
+def test_serve_arbitrary_size_routes_through_tiling(tmp_path):
+    """A denoiser bundle serves ANY 2D image size: non-native shapes go
+    through overlapped tiling (reference Denoiser.denoise,
+    machine_learning/denoiser.py:653-682) and match the library
+    tiled_apply exactly."""
+    import dataclasses
+
+    import jax
+
+    from emx.nn import Denoiser, DenoiserConfig
+    from emx.serve.artifact import save_denoiser_artifact
+    from emx.serve.server import serve_artifact
+    from emx.serve.tiling import tiled_apply
+
+    cfg = dataclasses.replace(DenoiserConfig.tiny(), norm="none",
+                              space_to_depth=4, folded_head=8)
+    model = Denoiser(cfg)
+    x64 = jnp.zeros((1, 64, 64))
+    variables = model.init(jax.random.key(0), x64, train=False)
+    p = str(tmp_path / "artifact.npz")
+    save_denoiser_artifact(p, cfg, variables)
+
+    srv = serve_artifact(p, tile=64, overlap=16, port=0)
+    try:
+        img = np.random.default_rng(0).random((100, 80)).astype(
+            np.float32)
+        out = _post_npy(srv.port, img)
+        assert out.shape == (100, 80)
+        fn = srv.apply_fn
+        expect = np.asarray(tiled_apply(fn, img, tile=64, overlap=16,
+                                        batch=8))
+        np.testing.assert_allclose(out, expect, atol=1e-6)
+        # Native-size requests still use the micro-batch path.
+        native = np.random.default_rng(1).random((64, 64)).astype(
+            np.float32)
+        out2 = _post_npy(srv.port, native)
+        assert out2.shape == (64, 64)
     finally:
         srv.stop()
