@@ -27,10 +27,19 @@ and the winner is chosen by a documented policy:
 
 `--promote` copies the winning bundle over the flagship path so
 bench.py and the server pick it up; DECISION.json records the full
-table either way.
+table either way. This module is the ONLY writer of the flagship
+path: candidate producers (emx.bench.qat_finetune, quant_check) write
+immutable candidate bundles and report their gates, and promotion
+happens here, through the full multi-family policy (round-3 verdict:
+an in-place promotion that never measured ood_grains shipped a bundle
+the declared policy never approved). Every candidate row records the
+bundle's content hash, and a displaced incumbent is snapshotted to a
+stable hash-named path before it is overwritten, so DECISION.json
+stays reproducible after promotion.
 """
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
@@ -43,6 +52,14 @@ from emx.bench.quant_check import (_ood_ladder, _psnr, _throughput,
                                    _val_ladder)
 
 FLAGSHIP = "docs/runs/flagship/artifact_int8.npz"
+
+
+def _sha256(path: str, n: int = 1 << 20) -> str:
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        while chunk := f.read(n):
+            h.update(chunk)
+    return h.hexdigest()
 
 
 def _score_bundle(bundle: str, ladders: dict) -> dict:
@@ -64,7 +81,7 @@ def _score_bundle(bundle: str, ladders: dict) -> dict:
     else:
         nn_fn = jax.jit(lambda x: model.apply(variables, x, train=False))
 
-    row = {"bundle": bundle,
+    row = {"bundle": bundle, "sha256": _sha256(bundle),
            "quant_mode": (quant or {}).get("mode", "float")}
     for fam, (noisy, clean) in ladders.items():
         res = compare_denoisers(noisy, clean, nn_fn=nn_fn)
@@ -104,11 +121,18 @@ def main(out_dir: str = "docs/runs/flagship",
          rate_gate: float = 5000.0,
          promote: bool = False) -> dict:
     candidates = candidates or [FLAGSHIP]
+    # The incumbent always competes: never-regress is part of the gate.
+    if os.path.exists(FLAGSHIP) and not any(
+            os.path.abspath(c) == os.path.abspath(FLAGSHIP)
+            for c in candidates):
+        candidates = [FLAGSHIP] + candidates
     missing = [b for b in candidates if not os.path.exists(b)]
     candidates = [b for b in candidates if os.path.exists(b)]
     ladders = {"val": _val_ladder(),
                "ood_ctf": _ood_ladder(family="ctf"),
-               "ood_grains": _ood_ladder(family="grains")}
+               "ood_grains": _ood_ladder(family="grains"),
+               "ood_filaments": _ood_ladder(family="filaments")}
+    os.makedirs(out_dir, exist_ok=True)
     rows = [_score_bundle(b, ladders) for b in candidates]
 
     def maximin(r):
@@ -127,9 +151,22 @@ def main(out_dir: str = "docs/runs/flagship",
            "promoted": False}
     if promote and winner and os.path.abspath(
             winner["bundle"]) != os.path.abspath(FLAGSHIP):
+        if os.path.exists(FLAGSHIP):
+            # Snapshot the displaced incumbent to an immutable
+            # hash-named path so the decision stays reproducible
+            # (round-3 advisor finding: --promote overwrote candidate
+            # 1's recorded path with the winner's contents).
+            inc_hash = _sha256(FLAGSHIP)
+            snap = os.path.join(out_dir,
+                                f"displaced_{inc_hash[:12]}.npz")
+            if not os.path.exists(snap):
+                shutil.copyfile(FLAGSHIP, snap)
+            out["displaced_incumbent"] = {"sha256": inc_hash,
+                                          "snapshot": snap}
         shutil.copyfile(winner["bundle"], FLAGSHIP)
         out["promoted"] = True
         out["promoted_to"] = FLAGSHIP
+        out["promoted_sha256"] = winner["sha256"]
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "DECISION.json"), "w") as f:
         json.dump(out, f, indent=1)

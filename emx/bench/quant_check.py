@@ -21,6 +21,20 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# The shipped deployment bundle. Only emx.bench.flagship_decision may
+# write this path (multi-family maximin policy); candidate producers
+# in this module and qat_finetune refuse to target it directly.
+FLAGSHIP = "docs/runs/flagship/artifact_int8.npz"
+
+# Canonical classical-filter bar on the val ladder (best classical =
+# gaussian; full precision so every gate record matches — round-3
+# advisor finding: a hand-rounded 36.01 broke gate-value consistency).
+VAL_CLASSICAL_BAR = 36.01258850097656
+
+
+def _is_flagship(path: str) -> bool:
+    return os.path.abspath(path) == os.path.abspath(FLAGSHIP)
+
 
 def _val_ladder(n=32, size=512):
     from emx.data.degrade import poisson_dose
@@ -45,18 +59,24 @@ def _val_ladder(n=32, size=512):
 
 
 def _ood_ladder(n=32, size=512, family="ctf"):
-    """Held-out OUT-OF-FAMILY ladder under the same low-dose range.
+    """Held-out evaluation ladders under the same low-dose range.
     family='ctf': CTF-lattice micrographs (seed 555 — disjoint from the
-    mixed training corpus's ctf seed; held-out-in-family once the model
-    trains on corpus='mixed'). family='grains': polycrystalline Voronoi
-    micrographs — NEVER in any training corpus, the true OOD probe for
-    mixed-corpus models."""
+    mixed training corpus's ctf seed; held-out-IN-family for models
+    trained on corpus='mixed'). family='grains': polycrystalline
+    Voronoi micrographs (seed 321; held-out-in-family once grains
+    joined the round-4 training mix, true OOD for earlier bundles).
+    family='filaments': curvilinear worm-like tubes + vesicle rings
+    (seed 777) — NEVER in any training corpus, the standing true-OOD
+    probe."""
     from emx.data.degrade import poisson_dose
-    from emx.data.pipeline import ctf_micrographs, grain_micrographs
+    from emx.data.pipeline import (ctf_micrographs, filament_micrographs,
+                                   grain_micrographs)
     from emx.utils.image import sanitize, scale0to1
 
     if family == "grains":
         imgs = jnp.asarray(grain_micrographs(n, size, seed=321))
+    elif family == "filaments":
+        imgs = jnp.asarray(filament_micrographs(n, size, seed=777))
     else:
         imgs = jnp.asarray(ctf_micrographs(n, size, seed=555))
     doses = jnp.asarray(np.linspace(25.0, 150.0, n).astype(np.float32))
@@ -206,6 +226,11 @@ def main(artifact: str, out_dir: str = "docs/runs/quant_r3",
         if best is not None:
             dest = os.path.join(os.path.dirname(artifact) or ".",
                                 "artifact_int8.npz")
+            if _is_flagship(dest):
+                # The flagship path is written ONLY by
+                # flagship_decision (multi-family maximin gate); park
+                # the candidate beside the run record instead.
+                dest = os.path.join(out_dir, "bundle.npz")
             # Never regress an existing promoted bundle (same contract
             # as emx.bench.qat_finetune: distilled bundles carry val
             # PSNR far above a fresh PTQ of the same float artifact).

@@ -319,12 +319,14 @@ def grain_micrographs(n: int, size: int = 512, seed: int = 0) -> np.ndarray:
     """SECOND out-of-family evaluation family: polycrystalline
     micrographs — Voronoi grains, each with its own lattice-fringe
     orientation/frequency/brightness, separated by dark boundary
-    grooves. Distinct from BOTH training families (the blob+global-
-    fringe `synthetic_micrographs` and the point-atom CTF
-    `ctf_micrographs`): piecewise-stationary texture with sharp
-    orientation discontinuities. EVAL-ONLY — never enters any training
-    corpus, so it stays a true OOD probe for mixed-corpus models
-    (emx.bench.quant_check ood, family='grains')."""
+    grooves. Distinct from the blob+global-fringe
+    `synthetic_micrographs` and the point-atom CTF `ctf_micrographs`:
+    piecewise-stationary texture with sharp orientation
+    discontinuities. Eval-only through round 3 (where the flagship
+    lost to a gaussian filter on it by ~5 dB); joined the round-4
+    training mix (`mixed_micrographs` grains=True, training seed
+    30_000 vs eval seed 321) — `filament_micrographs` is now the
+    standing true-OOD probe (emx.bench.quant_check ood)."""
     rng = np.random.default_rng(seed)
     yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
     out = np.empty((n, size, size), np.float32)
@@ -354,18 +356,82 @@ def grain_micrographs(n: int, size: int = 512, seed: int = 0) -> np.ndarray:
     return out
 
 
-def mixed_micrographs(n: int, size: int = 512, seed: int = 0) -> np.ndarray:
-    """Diverse training corpus: 3/4 `synthetic_micrographs` + 1/4
-    `ctf_micrographs`, shuffled. The reference trains on a diverse real
+def filament_micrographs(n: int, size: int = 512, seed: int = 0) -> np.ndarray:
+    """THIRD out-of-family evaluation family: curvilinear micrographs —
+    worm-like filaments (random-walk tubes, e.g. nanotubes / polymer
+    chains / biological fibrils) plus hollow vesicle rings with bright
+    rims. Morphologically distinct from every training family: no
+    straight lattice fringes (synthetic), no point-atom CTF texture
+    (ctf), no piecewise-stationary Voronoi patches (grains) — smooth
+    bent tubes with long-range curvature. EVAL-ONLY — never enters any
+    training corpus; once grains joined the round-4 training mix this
+    family became the true OOD probe (emx.bench.quant_check ood,
+    family='filaments')."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
+    out = np.empty((n, size, size), np.float32)
+    for i in range(n):
+        img = np.zeros((size, size), np.float32)
+        # Worm-like filaments: random-walk paths rasterized as point
+        # deposits, then blurred into tubes of per-filament width.
+        for _ in range(int(rng.integers(4, 10))):
+            length = int(rng.uniform(0.5, 2.0) * size)
+            pos = rng.uniform(0.1 * size, 0.9 * size, 2)
+            ang = rng.uniform(0, 2 * np.pi)
+            stiff = rng.uniform(0.05, 0.3)  # turning-angle scale
+            deposit = np.zeros((size, size), np.float32)
+            angs = ang + np.cumsum(rng.normal(0, stiff, length))
+            steps = np.stack([np.cos(angs), np.sin(angs)], axis=1)
+            pts = pos + np.cumsum(steps, axis=0).astype(np.float32)
+            # Reflect at the borders (triangle wave) so long walks stay
+            # in frame without piling up on the edges.
+            pts = np.abs(np.mod(pts, 2 * (size - 1)) - (size - 1))
+            pts = (size - 1) - pts
+            np.add.at(deposit, (pts[:, 0].astype(int),
+                                pts[:, 1].astype(int)), 1.0)
+            width = rng.uniform(1.5, 4.0)
+            f = np.fft.fftfreq(size).astype(np.float32)
+            g = np.exp(-2.0 * (np.pi * width) ** 2
+                       * (f[:, None] ** 2 + f[None, :] ** 2))
+            tube = np.fft.ifft2(np.fft.fft2(deposit) * g).real
+            img += rng.uniform(0.4, 1.0) * tube / max(tube.max(), 1e-9)
+        # Hollow vesicles: rings with a bright rim profile.
+        for _ in range(int(rng.integers(1, 5))):
+            cy, cx = rng.uniform(0.15, 0.85, 2) * size
+            r = rng.uniform(0.04, 0.18) * size
+            w = rng.uniform(1.5, 4.0)
+            d = np.sqrt((yy - cy) ** 2 + (xx - cx) ** 2)
+            img += (rng.uniform(0.3, 0.8)
+                    * np.exp(-((d - r) / w) ** 2).astype(np.float32))
+        # Smooth illumination background.
+        gy, gx = rng.uniform(-0.15, 0.15, 2)
+        img += 0.3 + gy * (yy / size - 0.5) + gx * (xx / size - 0.5)
+        lo, hi = img.min(), img.max()
+        out[i] = (img - lo) / max(hi - lo, 1e-9)
+    return out
+
+
+def mixed_micrographs(n: int, size: int = 512, seed: int = 0,
+                      grains: bool = True) -> np.ndarray:
+    """Diverse training corpus. The reference trains on a diverse real
     harvest (denoiser-multi-gpu.py:84-92); a single synthetic family is
-    too narrow a stand-in — the ood_check measured a tail-distilled
-    bundle at identity-level PSNR on CTF-lattice images it never saw.
-    Seeds are offset so no eval ladder leaks in (val: synthetic seed
-    999, ood: ctf seed 555)."""
+    too narrow a stand-in — the round-3 ood_check measured a
+    tail-distilled bundle at identity-level PSNR on CTF-lattice images
+    it never saw, and the round-3 flagship lost to a gaussian filter by
+    ~5 dB on grains. Composition (grains=True, the round-4 default):
+    1/2 `synthetic_micrographs` + 1/4 `ctf_micrographs` + 1/4
+    `grain_micrographs`; grains=False restores the round-3 mix (3/4
+    synthetic + 1/4 ctf). Seeds are offset so no eval ladder leaks in
+    (val: synthetic seed 999; ctf eval seed 555; grains eval seed 321;
+    filaments stay out of EVERY training corpus — the true OOD probe)."""
     n_ctf = n // 4
-    a = synthetic_micrographs(n - n_ctf, size, seed=seed)
+    n_grain = n // 4 if grains else 0
+    a = synthetic_micrographs(n - n_ctf - n_grain, size, seed=seed)
     b = ctf_micrographs(n_ctf, size, seed=seed + 10_000)
-    out = np.concatenate([a, b], axis=0)
+    parts = [a, b]
+    if n_grain:
+        parts.append(grain_micrographs(n_grain, size, seed=seed + 30_000))
+    out = np.concatenate(parts, axis=0)
     rng = np.random.default_rng(seed + 20_000)
     rng.shuffle(out)
     return out

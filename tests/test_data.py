@@ -242,3 +242,47 @@ def test_mixed_micrographs_composition():
     assert x.shape == (8, 64, 64) and np.isfinite(x).all()
     y = mixed_micrographs(8, 64, seed=5)
     np.testing.assert_allclose(x, y)  # deterministic
+
+
+def test_filament_micrographs_third_ood_family():
+    """Third, EVAL-ONLY OOD family (quant_check ood family='filaments'):
+    curvilinear worm-like tubes + vesicle rings. Finite, [0,1],
+    deterministic — and curvilinear rather than fringed: unlike every
+    training family its orientation field must be smooth but globally
+    isotropic (no dominant global fringe direction) while still being
+    strongly structured (non-flat)."""
+    import numpy as np
+
+    from emx.data.pipeline import filament_micrographs
+
+    x = filament_micrographs(2, 128, seed=7)
+    assert x.shape == (2, 128, 128) and np.isfinite(x).all()
+    assert -1e-6 <= x.min() and x.max() <= 1 + 1e-5
+    y = filament_micrographs(2, 128, seed=7)
+    np.testing.assert_allclose(x, y)
+    # Structured (not flat background).
+    assert x[0].std() > 0.05
+    # No dominant global fringe: the orientation coherence of the
+    # gradient field (|mean e^{2i theta}| weighted by magnitude) stays
+    # well below a lattice image's (~1 for a single global fringe).
+    gy, gx = np.gradient(x[0])
+    mag = np.hypot(gy, gx)
+    a = np.arctan2(gy, gx)
+    coh = np.abs(np.sum(mag * np.exp(2j * a)) / max(np.sum(mag), 1e-9))
+    assert coh < 0.5, f"filament family looks like a global fringe: {coh}"
+
+
+def test_mixed_micrographs_v2_includes_grains():
+    """Round-4 corpus: mixed_micrographs(grains=True) must differ from
+    the round-3 mix and contain n//4 grain images (composition check by
+    construction: the two calls share synthetic/ctf seeds, so any
+    difference comes from the grains quarter + reshuffle)."""
+    import numpy as np
+
+    from emx.data.pipeline import mixed_micrographs
+
+    v2 = mixed_micrographs(8, 64, seed=5)
+    v1 = mixed_micrographs(8, 64, seed=5, grains=False)
+    assert v2.shape == v1.shape == (8, 64, 64)
+    assert not np.allclose(v2, v1)
+    np.testing.assert_allclose(v2, mixed_micrographs(8, 64, seed=5))

@@ -291,3 +291,33 @@ def test_flagship_decision_policy():
     a = row("a", 40.0, 31.00, 27.0, 5100.0)
     b = row("b", 42.0, 30.95, 27.0, 5100.0)
     assert select_winner([a, b], 36.01, 5000.0)["bundle"] == "b"
+
+
+def test_flagship_decision_four_families_and_guard():
+    """Round 4: the decision scores a fourth (filaments) family, and the
+    candidate producers refuse to write the flagship path directly —
+    promotion routes only through flagship_decision."""
+    from emx.bench.flagship_decision import select_winner
+    from emx.bench.quant_check import FLAGSHIP, _is_flagship
+
+    def row(name, scores, rate):
+        r = {"bundle": name, "img_per_s": rate}
+        for f, (nn, bar) in scores.items():
+            r[f] = {"nn_psnr": nn, "best_classical": ["x", bar],
+                    "margin": round(nn - bar, 3)}
+        return r
+
+    fams = ("val", "ood_ctf", "ood_grains", "ood_filaments")
+    # 'a' wins 3 families big but loses filaments; 'b' is robust on all.
+    a = row("a", {"val": (44.0, 36.0), "ood_ctf": (32.0, 29.5),
+                  "ood_grains": (30.0, 25.0),
+                  "ood_filaments": (22.0, 27.0)}, 5400.0)
+    b = row("b", {"val": (40.0, 36.0), "ood_ctf": (30.0, 29.5),
+                  "ood_grains": (26.0, 25.0),
+                  "ood_filaments": (27.5, 27.0)}, 5200.0)
+    w = select_winner([a, b], 36.01, 5000.0, families=fams)
+    assert w["bundle"] == "b"
+    # The flagship path predicate the producers guard on.
+    assert _is_flagship(FLAGSHIP)
+    assert _is_flagship("docs/runs/flagship/../flagship/artifact_int8.npz")
+    assert not _is_flagship("docs/runs/qat_r4/bundle.npz")
