@@ -1,6 +1,19 @@
-"""EWREC reconstruction throughput: GS iterations/sec on the reference
-budget (512^2 crops, ~15 focal slices, 50 iterations —
-misc_py/ewrec_class.py:481-513,651-666).
+"""EWREC reconstruction throughput + roofline + accuracy.
+
+Throughput: GS iterations/sec on the reference budget (512^2 crops,
+~15 focal slices, 50 iterations — misc_py/ewrec_class.py:481-513,
+651-666). Round 4 adds:
+
+  * the FOURIER-AVERAGED loop (emx.recon.ewrec.reconstruct): mean
+    commutes with ifft2 and fft2(ifft2(m)) == m, so one GS iteration
+    needs 2N FFTs instead of the naive 3N+1 — measured side by side
+    with the naive loop here.
+  * an FFT-only ceiling: the same number of batched 512^2 c64
+    FFTs with a trivial elementwise op between them — if the GS loop
+    runs at ~this rate, it is FFT-bound and further elementwise fusion
+    cannot help (the roofline verdict VERDICT r3 weak-8 asked for).
+  * accuracy vs dose: reconstruction correlation against a known
+    synthetic exit wave under Poisson noise at decreasing dose.
 
 Usage: python -m emx.bench.ewrec_bench [n_slices] [side]
 Prints one JSON line {"metric": "ewrec_iters_per_s", ...}.
@@ -19,18 +32,47 @@ import numpy as np
 from emx.recon.ewrec import EWRECConfig, _ctf_stack
 
 
+def _time_run(run, args, num_iter: int, n_calls: int = 5) -> float:
+    float(run(*args))  # compile + roundtrip
+    t0 = time.perf_counter()
+    for _ in range(n_calls):
+        acc = float(run(*args))
+    dt = time.perf_counter() - t0
+    assert np.isfinite(acc)
+    return num_iter * n_calls / dt
+
+
 def measure(n_slices: int = 15, side: int = 512, num_iter: int = 50) -> dict:
     cfg = EWRECConfig(wavelength=0.025, num_iter=num_iter)
     rng = np.random.default_rng(0)
     amps = jnp.asarray(rng.random((n_slices, side, side)), jnp.float32)
     defocuses = jnp.asarray(np.linspace(-700, 700, n_slices), jnp.float32)
 
-    @jax.jit
-    def run(a, dfs):
-        # Build complex CTF stacks INSIDE the jit: complex arrays must not
-        # cross the host boundary on tunneled backends.
+    def _stacks(dfs):
+        # Build complex CTF stacks INSIDE the jit: complex arrays must
+        # not cross the host boundary on tunneled backends.
         to_focus = _ctf_stack(dfs, side, cfg.wavelength, cfg.px_dim, -1.0)
         to_plane = _ctf_stack(dfs, side, cfg.wavelength, cfg.px_dim, +1.0)
+        return to_focus, to_plane
+
+    @jax.jit
+    def run_fourier_avg(a, dfs):
+        # The production loop (emx.recon.ewrec.reconstruct): 2N FFTs.
+        to_focus, to_plane = _stacks(dfs)
+
+        def body(_, psi):
+            exit_k = jnp.mean(jnp.fft.fft2(psi) * to_focus, axis=0)
+            back = jnp.fft.ifft2(exit_k[None] * to_plane)
+            return back * (a / jnp.maximum(jnp.abs(back), 1e-12))
+
+        psi = jax.lax.fori_loop(0, num_iter, body, a.astype(jnp.complex64))
+        return jnp.sum(jnp.abs(psi))
+
+    @jax.jit
+    def run_naive(a, dfs):
+        # The reference-shaped loop: ifft per slice, mean in real space,
+        # re-fft the exit wave (3N+1 FFTs per iteration).
+        to_focus, to_plane = _stacks(dfs)
 
         def body(_, psi):
             ew = jnp.mean(jnp.fft.ifft2(jnp.fft.fft2(psi) * to_focus), axis=0)
@@ -40,20 +82,103 @@ def measure(n_slices: int = 15, side: int = 512, num_iter: int = 50) -> dict:
         psi = jax.lax.fori_loop(0, num_iter, body, a.astype(jnp.complex64))
         return jnp.sum(jnp.abs(psi))
 
-    float(run(amps, defocuses))  # compile + roundtrip
-    n_calls = 5
-    t0 = time.perf_counter()
-    acc = 0.0
-    for _ in range(n_calls):
-        acc += float(run(amps, defocuses))
-    dt = time.perf_counter() - t0
-    iters_per_s = num_iter * n_calls / dt
+    @jax.jit
+    def run_fft_only(a):
+        # FFT ceiling: the optimized loop does 2N FFTs + cheap
+        # elementwise work per iteration; this does the same 2N FFTs
+        # with a single scale in between. iters/s here is the speed of
+        # light for any GS variant that keeps 2N FFTs.
+        def body(_, psi):
+            f = jnp.fft.fft2(psi)
+            return jnp.fft.ifft2(f * (1.0 / (1 + _)))
+
+        psi = jax.lax.fori_loop(0, num_iter, body, a.astype(jnp.complex64))
+        return jnp.sum(jnp.abs(psi))
+
+    iters_fa = _time_run(run_fourier_avg, (amps, defocuses), num_iter)
+    iters_naive = _time_run(run_naive, (amps, defocuses), num_iter)
+    iters_fft = _time_run(run_fft_only, (amps,), num_iter)
+
+    # FLOP estimate for one 2D c64 FFT (split-radix-ish 5 N log2 N per
+    # 1D length-N transform, rows+cols over an N x N image).
+    fft_flops = 2 * side * 5.0 * side * np.log2(side)
     return {
         "metric": "ewrec_iters_per_s",
-        "value": round(iters_per_s, 2),
+        "value": round(iters_fa, 2),
         "unit": f"GS iters/s ({n_slices}x{side}^2)",
-        "full_reconstructions_per_s": round(n_calls / dt, 3),
+        "full_reconstructions_per_s": round(iters_fa / num_iter, 3),
+        "naive_loop_iters_per_s": round(iters_naive, 2),
+        "fft_count_per_iter": {"fourier_avg": 2 * n_slices,
+                               "naive": 3 * n_slices + 1},
+        "fft_only_ceiling_iters_per_s": round(iters_fft, 2),
+        "fraction_of_fft_ceiling": round(iters_fa / iters_fft, 3),
+        "fft_gflops_implied": round(
+            iters_fa * 2 * n_slices * fft_flops / 1e9, 1),
     }
+
+
+def accuracy_vs_dose(n_slices: int = 15, side: int = 256,
+                     num_iter: int = 50) -> dict:
+    """Reconstruction fidelity against a KNOWN synthetic exit wave as
+    Poisson dose drops — the noisy-data row the GS algorithm never had
+    (the reference evaluates only on real stacks with no ground truth,
+    misc_py/ewrec_class.py:651-666). Correlation metric matches
+    tests/test_recon.py's |corr| on the complex wave over the interior."""
+    from emx.physics.propagate import propagate_back_to_defocus
+
+    cfg = EWRECConfig(wavelength=0.025, num_iter=num_iter)
+    rng = np.random.default_rng(7)
+    # Smooth random phase/amplitude object (band-limited noise).
+    def smooth(seed, s=8.0):
+        g = rng.normal(size=(side, side))
+        f = np.fft.fftfreq(side)
+        m = np.exp(-0.5 * (f[:, None] ** 2 + f[None, :] ** 2) * (s * side) ** 2 / 4)
+        x = np.fft.ifft2(np.fft.fft2(g) * m).real
+        return (x - x.min()) / max(x.max() - x.min(), 1e-9)
+
+    phase = 1.2 * (smooth(0) - 0.5)
+    amp = 0.8 + 0.2 * smooth(1)
+    true_wave = (amp * np.exp(1j * phase)).astype(np.complex64)
+    defocuses = jnp.asarray(np.linspace(-700, 700, n_slices), jnp.float32)
+
+    @jax.jit
+    def image_stack(wave_r, wave_i, dfs):
+        wave = wave_r + 1j * wave_i
+        def one(df):
+            return jnp.abs(propagate_back_to_defocus(
+                wave, df, cfg.wavelength, px_dim=cfg.px_dim)) ** 2
+        return jax.vmap(one)(dfs)
+
+    ints = np.asarray(image_stack(jnp.asarray(true_wave.real),
+                                  jnp.asarray(true_wave.imag), defocuses))
+
+    from emx.recon.ewrec import reconstruct
+
+    @jax.jit
+    def recon_corr(a, dfs, wr, wi):
+        wave = reconstruct(a, dfs, cfg)
+        true = wr + 1j * wi
+        c = side // 8
+        w1 = wave[c:-c, c:-c]
+        w2 = true[c:-c, c:-c]
+        num = jnp.abs(jnp.sum(w1 * jnp.conj(w2)))
+        den = jnp.sqrt(jnp.sum(jnp.abs(w1) ** 2) * jnp.sum(jnp.abs(w2) ** 2))
+        return num / jnp.maximum(den, 1e-12)
+
+    rows = {}
+    for dose in (None, 1000.0, 250.0, 100.0, 25.0):
+        if dose is None:
+            noisy = ints
+            key = "noiseless"
+        else:
+            noisy = rng.poisson(ints / ints.mean() * dose) * ints.mean() / dose
+            key = f"dose_{int(dose)}"
+        a = jnp.sqrt(jnp.maximum(jnp.asarray(noisy, jnp.float32), 0.0))
+        rows[key] = round(float(recon_corr(
+            a, defocuses, jnp.asarray(true_wave.real),
+            jnp.asarray(true_wave.imag))), 4)
+    return {"metric": "ewrec_accuracy_vs_dose", "n_slices": n_slices,
+            "side": side, "num_iter": num_iter, "complex_corr": rows}
 
 
 def main(n_slices: int = 15, side: int = 512, num_iter: int = 50) -> None:
@@ -61,5 +186,8 @@ def main(n_slices: int = 15, side: int = 512, num_iter: int = 50) -> None:
 
 
 if __name__ == "__main__":
-    args = [int(a) for a in sys.argv[1:]]
-    main(*args)
+    args = sys.argv[1:]
+    if args and args[0] == "accuracy":
+        print(json.dumps(accuracy_vs_dose(*[int(a) for a in args[1:]])))
+    else:
+        main(*[int(a) for a in args])

@@ -97,29 +97,48 @@ def _score_bundle(bundle: str, ladders: dict) -> dict:
 
 
 def select_winner(rows: list[dict], psnr_gate: float, rate_gate: float,
-                  families=("val", "ood_ctf", "ood_grains")):
-    """Pure policy: hard gates, then maximin per-family margin, ties
-    (within 0.1 dB) by val PSNR. Returns the winning row or None."""
+                  families=("val", "ood_ctf", "ood_grains"),
+                  cap_db: float = 1.0):
+    """Pure policy: hard gates, then the highest SUM of per-family
+    classical margins, each capped at +`cap_db`; ties (within 0.1 dB)
+    break by val PSNR. Returns the winning row or None.
+
+    The cap is the robustness mechanism: a family can beat its
+    classical bar by at most +1 dB of credit, so surplus in-family
+    margin cannot buy out a failure on another family (the round-3
+    motivation for maximin). Unlike plain maximin, a capped SUM stays
+    informative when a NEW family is uniformly hard for every
+    candidate: maximin degenerated in this round's first 4-family run —
+    every bundle failed filaments by ~7.5 dB, the common-failure axis
+    became the only signal, and the synthetic specialist (23.6 dB =
+    identity level on ctf) beat the robust bundle on a 0.17 dB noise
+    difference there. Under the capped sum the shared filaments
+    shortfall shifts all scores equally and the 6.6 dB ctf robustness
+    difference decides."""
     def eligible(r):
         return (r["val"]["nn_psnr"] >= psnr_gate
                 and r["img_per_s"] >= rate_gate)
 
-    def maximin(r):
-        return min(r[f]["margin"] for f in families)
+    def score(r):
+        return sum(min(r[f]["margin"], cap_db) for f in families)
 
     passing = [r for r in rows if eligible(r)]
     if not passing:
         return None
-    best_mm = max(maximin(r) for r in passing)
-    near = [r for r in passing if maximin(r) >= best_mm - 0.1]
+    best = max(score(r) for r in passing)
+    near = [r for r in passing if score(r) >= best - 0.1]
     return max(near, key=lambda r: r["val"]["nn_psnr"])
+
+
+FAMILIES = ("val", "ood_ctf", "ood_grains", "ood_filaments")
 
 
 def main(out_dir: str = "docs/runs/flagship",
          candidates: list[str] | None = None,
          psnr_gate: float = 36.01258850097656,
          rate_gate: float = 5000.0,
-         promote: bool = False) -> dict:
+         promote: bool = False,
+         reselect: bool = False) -> dict:
     candidates = candidates or [FLAGSHIP]
     # The incumbent always competes: never-regress is part of the gate.
     if os.path.exists(FLAGSHIP) and not any(
@@ -128,29 +147,50 @@ def main(out_dir: str = "docs/runs/flagship",
         candidates = [FLAGSHIP] + candidates
     missing = [b for b in candidates if not os.path.exists(b)]
     candidates = [b for b in candidates if os.path.exists(b)]
-    ladders = {"val": _val_ladder(),
-               "ood_ctf": _ood_ladder(family="ctf"),
-               "ood_grains": _ood_ladder(family="grains"),
-               "ood_filaments": _ood_ladder(family="filaments")}
-    os.makedirs(out_dir, exist_ok=True)
-    rows = [_score_bundle(b, ladders) for b in candidates]
+    if reselect:
+        # Re-run selection + promotion over the ALREADY-RECORDED rows
+        # (policy changes don't need a ~25-min rescoring run; the rows
+        # carry content hashes, so provenance holds).
+        with open(os.path.join(out_dir, "DECISION.json")) as f:
+            rows = json.load(f)["candidates"]
+    else:
+        ladders = {f: (_val_ladder() if f == "val"
+                       else _ood_ladder(family=f.split("_", 1)[1]))
+                   for f in FAMILIES}
+        os.makedirs(out_dir, exist_ok=True)
+        rows = [_score_bundle(b, ladders) for b in candidates]
 
     def maximin(r):
-        return min(r[f]["margin"] for f in ladders)
+        return min(r[f]["margin"] for f in FAMILIES)
+
+    def score(r):
+        return sum(min(r[f]["margin"], 1.0) for f in FAMILIES)
 
     winner = select_winner(rows, psnr_gate, rate_gate,
-                           families=tuple(ladders))
+                           families=FAMILIES)
+    for r in rows:
+        r["capped_margin_sum"] = round(score(r), 3)
+        r["worst_margin"] = round(maximin(r), 3)
     out = {"metric": "flagship_decision",
-           "policy": "gates(val>=%.2f dB, >=%.0f img/s) then maximin "
-                     "per-family margin over best classical, ties by "
-                     "val PSNR" % (psnr_gate, rate_gate),
+           "policy": "gates(val>=%.2f dB, >=%.0f img/s) then highest "
+                     "sum of per-family margins over best classical, "
+                     "each capped at +1 dB, ties by val PSNR"
+                     % (psnr_gate, rate_gate),
            "candidates": rows, "missing_candidates": missing,
            "winner": winner["bundle"] if winner else None,
-           "winner_maximin_margin": (round(maximin(winner), 3)
-                                     if winner else None),
+           "winner_capped_margin_sum": (round(score(winner), 3)
+                                        if winner else None),
+           "winner_worst_margin": (round(maximin(winner), 3)
+                                   if winner else None),
            "promoted": False}
     if promote and winner and os.path.abspath(
             winner["bundle"]) != os.path.abspath(FLAGSHIP):
+        # The file being promoted must be the file that was scored.
+        live = _sha256(winner["bundle"])
+        if live != winner["sha256"]:
+            raise RuntimeError(
+                f"winner bundle {winner['bundle']} changed since "
+                f"scoring: {live[:12]} != {winner['sha256'][:12]}")
         if os.path.exists(FLAGSHIP):
             # Snapshot the displaced incumbent to an immutable
             # hash-named path so the decision stays reproducible
@@ -177,6 +217,7 @@ def main(out_dir: str = "docs/runs/flagship",
 if __name__ == "__main__":
     a = sys.argv[1:]
     promote = "--promote" in a
-    a = [x for x in a if x != "--promote"]
+    reselect = "--reselect" in a
+    a = [x for x in a if not x.startswith("--")]
     main(a[0] if a else "docs/runs/flagship",
-         a[1:] or None, promote=promote)
+         a[1:] or None, promote=promote, reselect=reselect)

@@ -67,15 +67,21 @@ def reconstruct(
     to_plane = _ctf_stack(defocuses, h, cfg.wavelength, cfg.px_dim, +1.0)
 
     def body(_, psi):
-        # Propagate every slice to focus and average.
-        exit_wave = jnp.mean(jnp.fft.ifft2(jnp.fft.fft2(psi) * to_focus), axis=0)
+        # Propagate every slice to focus and average — IN FOURIER SPACE:
+        # mean commutes with the (linear) inverse FFT, and the averaged
+        # spectrum is exactly fft2(exit_wave), so the naive sequence
+        # [N ifft2, mean, 1 fft2] collapses to one elementwise mean.
+        # With the back-propagation's N ifft2 this cuts the FFT count
+        # per GS iteration from 3N+1 to 2N (~35% fewer 512^2 c64 FFTs;
+        # the loop is FFT-bound — docs/runs/flagship EWREC roofline).
+        exit_k = jnp.mean(jnp.fft.fft2(psi) * to_focus, axis=0)
         # Back-propagate to each plane and replace amplitude with measured.
-        back = jnp.fft.ifft2(jnp.fft.fft2(exit_wave)[None] * to_plane)
+        back = jnp.fft.ifft2(exit_k[None] * to_plane)
         return back * (amps / jnp.maximum(jnp.abs(back), 1e-12))
 
     psi0 = amps.astype(jnp.complex64)
     psi = jax.lax.fori_loop(0, cfg.num_iter, body, psi0)
-    return jnp.mean(jnp.fft.ifft2(jnp.fft.fft2(psi) * to_focus), axis=0)
+    return jnp.fft.ifft2(jnp.mean(jnp.fft.fft2(psi) * to_focus, axis=0))
 
 
 def deconstruct(

@@ -321,3 +321,31 @@ def test_flagship_decision_four_families_and_guard():
     assert _is_flagship(FLAGSHIP)
     assert _is_flagship("docs/runs/flagship/../flagship/artifact_int8.npz")
     assert not _is_flagship("docs/runs/qat_r4/bundle.npz")
+
+
+def test_flagship_decision_common_failure_family_degeneracy():
+    """Regression for the round-4 incident: when a NEW family is
+    uniformly hard for every candidate, plain maximin reduces to
+    'least-bad on the new axis' and a 0.17 dB noise difference there
+    outweighed a 6.6 dB ctf robustness difference (the identity-level-
+    on-ctf specialist got promoted). The capped-margin-sum policy must
+    pick the robust bundle. Numbers below are the real first 4-family
+    DECISION rows."""
+    from emx.bench.flagship_decision import select_winner
+
+    def row(name, val, ctf, grains, fil, rate):
+        bars = {"val": 36.013, "ood_ctf": 29.522, "ood_grains": 32.033,
+                "ood_filaments": 39.791}
+        vals = {"val": val, "ood_ctf": ctf, "ood_grains": grains,
+                "ood_filaments": fil}
+        r = {"bundle": name, "img_per_s": rate}
+        for f, bar in bars.items():
+            r[f] = {"nn_psnr": vals[f], "best_classical": ["x", bar],
+                    "margin": round(vals[f] - bar, 3)}
+        return r
+
+    fams = ("val", "ood_ctf", "ood_grains", "ood_filaments")
+    robust = row("robust", 43.321, 30.276, 27.524, 32.209, 5333.8)
+    specialist = row("specialist", 44.463, 23.631, 27.452, 32.380, 5346.0)
+    w = select_winner([robust, specialist], 36.01, 5000.0, families=fams)
+    assert w["bundle"] == "robust"
