@@ -34,7 +34,11 @@ import numpy as np
 
 def main(out_dir: str, steps: int = 20000, batch: int = 8,
          size: int = 256, scale: float = 0.5,
-         mse_weight: float = 10.0, init_from: str | None = None) -> dict:
+         mse_weight: float = 10.0, init_from: str | None = None,
+         coverage: int = 64) -> dict:
+    """`coverage`: 1/coverage of the pixels are scanned — 64 is the
+    reference gan-infilling contract (gan-infilling-100.py:1173-1175),
+    100 the partial-STEM one (stem_infilling-100.py:1326-1328)."""
     from emx.analysis.inpaint import compare_infills, masked_psnr
     from emx.data.degrade import apply_partial_scan, fixed_scan_mask, \
         infilling_example, norm_neg1to1, sanitize
@@ -71,7 +75,7 @@ def main(out_dir: str, steps: int = 20000, batch: int = 8,
         # budget the pixel term must carry more of the masked-PSNR load.
         mse_weight=mse_weight,
     )
-    mask = fixed_scan_mask((size, size), coverage=1 / 64)
+    mask = fixed_scan_mask((size, size), coverage=1 / coverage)
     example_fn = functools.partial(infilling_example, mask=mask)
     trainer = GANTrainer(InfillingGenerator(net_cfg),
                          MultiscaleDiscriminator(net_cfg), cfg,
@@ -112,7 +116,7 @@ def main(out_dir: str, steps: int = 20000, batch: int = 8,
              for k in ("gen_params", "gen_stats", "disc_params",
                        "disc_stats", "pred_avg", "pred_avg_real")},
             meta={"step": int(state.step), "scale": scale, "size": size,
-                  "mse_weight": mse_weight})
+                  "mse_weight": mse_weight, "coverage": coverage})
 
     start = int(state.step)
     t0 = time.perf_counter()
@@ -159,7 +163,8 @@ def main(out_dir: str, steps: int = 20000, batch: int = 8,
     summary = {
         "metric": "gan_infilling_quality",
         "steps": int(state.step), "batch": batch, "size": size,
-        "scale": scale, "coverage": "1/64", "mse_weight": mse_weight,
+        "scale": scale, "coverage": f"1/{coverage}",
+        "mse_weight": mse_weight,
         "train_step_per_s": round((int(state.step) - start)
                                   / train_s, 3),
         "nn_psnr_masked": round(results["nn"]["psnr_masked"], 3),
@@ -181,4 +186,5 @@ if __name__ == "__main__":
          int(a[3]) if len(a) > 3 else 256,
          float(a[4]) if len(a) > 4 else 0.5,
          float(a[5]) if len(a) > 5 else 10.0,
-         a[6] if len(a) > 6 else None)
+         a[6] if len(a) > 6 and a[6] != "none" else None,
+         int(a[7]) if len(a) > 7 else 64)

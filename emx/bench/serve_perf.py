@@ -1,0 +1,109 @@
+"""Serving-graph performance sweep (VERDICT r3 weak-3 / next-3).
+
+The round-3 roofline put the shipped int8 graph at 15.6% of compute
+peak with ~2.9x principled HBM headroom; the round-4 post-fusion HLO
+audit (scripts/hlo_bytes.py) showed the conv fusions already emit s8
+directly and the remaining big bf16 tensors are the depthwise (store-
+mode) boundaries at 128^2 plus the f32 output path. This sweep
+measures, on the real chip, each byte-diet lever against the shipped
+bundle at matched quality:
+
+  * batch size (64/96/128/192) at the stored mode,
+  * mode='mxu2' (int8 depthwise convs),
+  * out_dtype='bfloat16' (halves the full-res output path),
+  * both combined,
+
+reporting throughput (bench.py chain protocol) and val-ladder PSNR per
+variant. Writes docs/runs/flagship/serve_perf.json.
+
+Usage: python -m emx.bench.serve_perf [bundle] [out_dir]
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".jax_cache"),
+)
+
+import jax
+import jax.numpy as jnp
+
+
+def main(bundle: str = "docs/runs/flagship/artifact_int8.npz",
+         out_dir: str = "docs/runs/flagship",
+         batches: tuple[int, ...] = (64, 96, 128, 192)) -> dict:
+    from emx.bench.quant_check import _psnr, _throughput, _val_ladder
+    from emx.nn import Denoiser
+    from emx.serve.artifact import load_denoiser_artifact
+    from emx.serve.quantize import quantized_apply
+
+    cfg0, variables, quant = load_denoiser_artifact(bundle,
+                                                    with_quant=True)
+    assert quant is not None, "sweep expects an int8-promoted bundle"
+    cfg0 = dataclasses.replace(cfg0, dtype=jnp.bfloat16)
+    noisy, clean = _val_ladder()
+
+    def build(mode: str, out_dtype: str):
+        cfg = dataclasses.replace(cfg0, out_dtype=out_dtype)
+        model = Denoiser(cfg)
+        return jax.jit(quantized_apply(model, variables, quant["amax"],
+                                       mode, skip=quant.get("skip", ())))
+
+    rows = []
+
+    def stage(msg):
+        print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+    base_mode = quant["mode"]
+    # 1) batch sweep at the stored mode.
+    for b in batches:
+        fn = build(base_mode, "float32")
+        try:
+            r = _throughput(fn, batch=b)
+        except Exception as e:  # OOM at large batch is a result too
+            rows.append({"variant": f"{base_mode}/b{b}",
+                         "error": str(e)[:160]})
+            continue
+        rows.append({"variant": f"{base_mode}/b{b}", "img_per_s": r})
+        stage(f"{base_mode}/b{b}: {r} img/s")
+    best_b = max((r for r in rows if "img_per_s" in r),
+                 key=lambda r: r["img_per_s"])["variant"].split("b")[-1]
+    best_b = int(best_b)
+
+    # 2) graph variants at the best batch (PSNR must hold the gate).
+    for mode, odt in ((base_mode, "bfloat16"), ("mxu2", "float32"),
+                      ("mxu2", "bfloat16")):
+        tag = f"{mode}/out_{odt}/b{best_b}"
+        try:
+            fn = build(mode, odt)
+            psnr = _psnr(fn(noisy).astype(jnp.float32), clean)
+            r = _throughput(fn, batch=best_b)
+            rows.append({"variant": tag, "img_per_s": r, "psnr": psnr})
+            stage(f"{tag}: {r} img/s @ {psnr} dB")
+        except Exception as e:
+            rows.append({"variant": tag, "error": str(e)[:160]})
+            stage(f"{tag}: ERROR {str(e)[:120]}")
+
+    base_fn = build(base_mode, "float32")
+    base_psnr = _psnr(base_fn(noisy), clean)
+    out = {"metric": "serve_perf_sweep", "bundle": bundle,
+           "stored_mode": base_mode, "base_psnr": base_psnr,
+           "best_batch": best_b, "rows": rows}
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "serve_perf.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out), flush=True)
+    return out
+
+
+if __name__ == "__main__":
+    a = sys.argv[1:]
+    main(a[0] if a else "docs/runs/flagship/artifact_int8.npz",
+         a[1] if len(a) > 1 else "docs/runs/flagship")

@@ -396,7 +396,8 @@ def run_kernels(steps, scale, size, seed=0):
             "anchor_gaussian_psnr": anchor, "all": scores}
 
 
-def run_vaegan(steps, scale, size, seed=0, kl_weight=1.0):
+def run_vaegan(steps, scale, size, seed=0, kl_weight=1.0,
+               wass_weight=1.0, wass_anneal=False):
     """Nested VAE-GAN (reference misc_py/ga-vae.py:852-1050): WGAN-GP
     alternation of the spectral critic and the generator-side composite
     loss. Metrics: val reconstruction PSNR through the nested bottleneck
@@ -405,8 +406,15 @@ def run_vaegan(steps, scale, size, seed=0, kl_weight=1.0):
 
     `kl_weight` < 1 relaxes the inner-VAE bottleneck (the reference
     weight 1.0 measured 12.2 dB recon at 16k steps — below the constant
-    anchor, classic posterior squeeze; the kl=0.1 variant is the
-    emx-native row)."""
+    anchor, classic posterior squeeze; the kl=0.1 ablation measured
+    WORSE — 10.3 dB — so the KL is not the recon bottleneck).
+
+    `wass_weight` / `wass_anneal` attack the round-3 diagnosis that the
+    Wasserstein realism term is what keeps recon below the constant
+    anchor: anneal ramps the critic's weight linearly 0 -> wass_weight
+    over training (pure autoencoding first, realism later), so the
+    reconstruction objective establishes the mapping before the critic
+    starts trading pixel fidelity for realism."""
     import optax
 
     from emx.nn.vaegan import (NestedVAEGAN, SpectralCritic, VAEGANConfig,
@@ -434,7 +442,7 @@ def run_vaegan(steps, scale, size, seed=0, kl_weight=1.0):
     c_state = c_opt.init(critic_vars["params"])
 
     @jax.jit
-    def step(params, g_state, c_params, c_spec, c_state, key, imgs):
+    def step(params, g_state, c_params, c_spec, c_state, key, imgs, w):
         k_c, k_g, k_gp = jax.random.split(key, 3)
 
         # Critic: maximize critic(real) - critic(fake) (+ GP), refreshing
@@ -466,7 +474,7 @@ def run_vaegan(steps, scale, size, seed=0, kl_weight=1.0):
             total, parts = vaegan_losses(
                 model, {"params": p}, critic,
                 {"params": c_params, "spectral": new_spec}, imgs, k_g,
-                weights=VAEGANLossWeights(kl=kl_weight))
+                weights=VAEGANLossWeights(kl=kl_weight, wass=w))
             return total, parts
 
         (gl, parts), gg = jax.value_and_grad(g_loss, has_aux=True)(params)
@@ -482,9 +490,12 @@ def run_vaegan(steps, scale, size, seed=0, kl_weight=1.0):
     for i in range(steps):
         k = jax.random.fold_in(key, i)
         idx = jax.random.randint(k, (batch,), 0, n)
+        w = (wass_weight * min(1.0, i / max(steps * 0.5, 1))
+             if wass_anneal else wass_weight)
         params, g_state, c_params, c_spec, c_state, mse = step(
             params, g_state, c_params, c_spec, c_state, k,
-            jnp.take(train, idx, axis=0))
+            jnp.take(train, idx, axis=0),
+            jnp.asarray(w, jnp.float32))
 
     @jax.jit
     def eval_fn(params, val, key):
@@ -605,6 +616,13 @@ FAMILIES = {
     "embedder_nce": run_embedder_nce,
     "vaegan_kl01": lambda steps, scale, size: run_vaegan(
         steps, scale, size, kl_weight=0.1),
+    # Round-4 levers on the recon-below-anchor negative (VERDICT r3
+    # weak-7): anneal the Wasserstein realism term in over the first
+    # half of training, or hold it at 0.1.
+    "vaegan_anneal": lambda steps, scale, size: run_vaegan(
+        steps, scale, size, wass_anneal=True),
+    "vaegan_wass01": lambda steps, scale, size: run_vaegan(
+        steps, scale, size, wass_weight=0.1),
 }
 
 

@@ -70,7 +70,8 @@ def save_denoiser_artifact(path: str, config, variables: dict,
     }, default=list)
     extra = {_CFG_KEY: np.frombuffer(cfg_json.encode(), dtype=np.uint8)}
     if quant is not None:
-        assert quant.get("mode") in ("store", "mxu") and "amax" in quant
+        assert quant.get("mode") in ("store", "mxu", "mxu2") \
+            and "amax" in quant
         # amax values may be per-input-channel arrays; JSON them as lists.
         extra[_QUANT_KEY] = np.frombuffer(
             json.dumps(quant, default=lambda a: np.asarray(a).tolist())

@@ -155,8 +155,16 @@ def quantized_apply(model, variables, amax: dict[str, Any],
     in the given order when `capture` is a tuple. Used to harvest
     intermediate features (e.g. the folded-head input, or the two
     decoder-stage concats for the 'decoder2' tail scope) from the
-    deployment graph."""
-    assert mode in ("store", "mxu")
+    deployment graph.
+
+    mode='mxu2' extends 'mxu' to DEPTHWISE (grouped) convs: int8 input
+    x int8 per-group kernel -> int32, rescaled per output channel. In
+    'mxu' the depthwise convs get the storage treatment (bf16 compute),
+    which keeps a bf16 tensor alive at every sepconv's internal
+    boundary; at the flagship's dominant 128^2 stages those are the
+    largest remaining bf16 tensors in the post-fusion HLO (round-4
+    scripts/hlo_bytes.py audit)."""
+    assert mode in ("store", "mxu", "mxu2")
     skip = set(skip)
     cap = ((capture,) if isinstance(capture, str)
            else tuple(capture) if capture is not None else ())
@@ -172,11 +180,11 @@ def quantized_apply(model, variables, amax: dict[str, Any],
             return next_fun(*args, **kwargs)
         mod: nn.Conv = context.module
         x = args[0]
+        grouped = mod.feature_group_count != 1
         x_scale = _scale_of(amax[p])  # () or (C_in,)
         xq = jnp.clip(jnp.round(x.astype(jnp.float32) / x_scale),
                       -127, 127).astype(jnp.int8)
-        if mode == "store" or (mode == "mxu"
-                               and mod.feature_group_count != 1):
+        if mode == "store" or (mode == "mxu" and grouped):
             # Grouped (depthwise) int8 convs don't hit the MXU int8
             # path; give them the storage treatment instead.
             # int8 at the fusion boundary; compute in the model dtype.
@@ -188,7 +196,13 @@ def quantized_apply(model, variables, amax: dict[str, Any],
         # then per-output-channel symmetric weight scales:
         #   y = sum_c W[...,c,o]*(s_c*xq_c) = conv(xq, W*s_c) —
         # the int32 accumulator needs only the per-o rescale after.
-        kf = kernel.astype(jnp.float32) * x_scale.reshape(1, 1, -1, 1)
+        # Depthwise ('mxu2'): group o reads exactly input channel o, so
+        # the per-input-channel scale folds along the OUTPUT axis of
+        # the (3,3,1,C) kernel instead.
+        if grouped:
+            kf = kernel.astype(jnp.float32) * x_scale.reshape(1, 1, 1, -1)
+        else:
+            kf = kernel.astype(jnp.float32) * x_scale.reshape(1, 1, -1, 1)
         w_amax = jnp.max(jnp.abs(kf), axis=(0, 1, 2), keepdims=True)
         w_scale = jnp.maximum(w_amax / 127.0, 1e-12)
         kq = jnp.clip(jnp.round(kf / w_scale), -127, 127).astype(jnp.int8)
@@ -226,7 +240,7 @@ def fake_quant_apply(model, amax: dict[str, Any], mode: str = "mxu",
     so gradients steer the float params toward int8-robust minima.
     Returns fn(variables, x, train=False); `amax` stays fixed (static
     calibration, re-run `calibrate` after finetuning for serving)."""
-    assert mode in ("store", "mxu")
+    assert mode in ("store", "mxu", "mxu2")
     skip = set(skip)
 
     def interceptor(next_fun, args, kwargs, context):
@@ -237,18 +251,19 @@ def fake_quant_apply(model, amax: dict[str, Any], mode: str = "mxu",
             return next_fun(*args, **kwargs)
         mod: nn.Conv = context.module
         x = args[0]
+        grouped = mod.feature_group_count != 1
         x_scale = _scale_of(amax[p]).astype(jnp.float32)
         x_fq = _ste(x.astype(jnp.float32), x_scale)
-        if mode == "store" or (mode == "mxu"
-                               and mod.feature_group_count != 1):
+        if mode == "store" or (mode == "mxu" and grouped):
             return next_fun(x_fq.astype(x.dtype), *args[1:], **kwargs)
         kernel = mod.variables["params"]["kernel"]
         bias = mod.variables["params"].get("bias")
-        kf = kernel.astype(jnp.float32) * x_scale.reshape(1, 1, -1, 1)
+        scale_shape = (1, 1, 1, -1) if grouped else (1, 1, -1, 1)
+        kf = kernel.astype(jnp.float32) * x_scale.reshape(scale_shape)
         w_amax = jnp.max(jnp.abs(jax.lax.stop_gradient(kf)),
                          axis=(0, 1, 2), keepdims=True)
         w_scale = jnp.maximum(w_amax / 127.0, 1e-12)
-        k_fq = _ste(kf, w_scale) / x_scale.reshape(1, 1, -1, 1)
+        k_fq = _ste(kf, w_scale) / x_scale.reshape(scale_shape)
         out = _manual_conv(mod, x_fq, k_fq, None, jnp.float32)
         if bias is not None:
             out = out + bias.astype(jnp.float32)

@@ -349,3 +349,71 @@ def test_flagship_decision_common_failure_family_degeneracy():
     specialist = row("specialist", 44.463, 23.631, 27.452, 32.380, 5346.0)
     w = select_winner([robust, specialist], 36.01, 5000.0, families=fams)
     assert w["bundle"] == "robust"
+
+
+def test_mxu2_quantizes_depthwise_and_stays_close():
+    """mode='mxu2' runs grouped (depthwise) convs as int8 x int8 -> s32
+    with the per-input-channel activation scale folded along the
+    kernel's OUTPUT axis (group o reads channel o). It must stay as
+    close to float as 'mxu' does, and its fake-quant twin must match
+    its forward on a depthwise-only probe."""
+    import flax.linen as nn
+
+    from emx.serve.quantize import fake_quant_apply
+
+    model, variables, x = _model_and_vars()
+    amax = calibrate(model, variables, [x])
+    ref = np.asarray(model.apply(variables, x, train=False))
+    got_mxu = np.asarray(quantized_apply(model, variables, amax,
+                                         "mxu")(x))
+    got = np.asarray(quantized_apply(model, variables, amax, "mxu2")(x))
+    err2 = float(np.mean((got - ref) ** 2))
+    err1 = float(np.mean((got_mxu - ref) ** 2))
+    assert err2 < max(4 * err1, 1e-4), (err1, err2)
+
+    # Grouped int8 lowering correctness: a single depthwise conv must
+    # match its float twin within the quantization grid (per-channel
+    # input step + per-output weight step, 3x3 support).
+    class DW(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            return nn.Conv(x.shape[-1], (3, 3), padding="SAME",
+                           feature_group_count=x.shape[-1],
+                           dtype=jnp.float32)(x)
+
+    dw = DW()
+    rng = np.random.default_rng(3)
+    xg = jnp.asarray(rng.normal(0, 40.0, (1, 8, 8, 4)), jnp.float32)
+    vg = dw.init(jax.random.key(0), xg)
+    am = calibrate(dw, vg, [xg])
+    out_f = np.asarray(dw.apply(vg, xg))
+    out_q = np.asarray(quantized_apply(dw, vg, am, "mxu2")(xg))
+    w = np.asarray(vg["params"]["Conv_0"]["kernel"])
+    # Error bound: 9 taps x (x_step/2 * |w| + w_step/2 * |x|).
+    x_step = np.asarray(list(am.values())[0]) / 127.0
+    bound = 9 * (np.max(x_step) / 2 * np.max(np.abs(w))
+                 + np.max(np.abs(w) * x_step) / 127.0 / 2 * 127.0)
+    assert np.max(np.abs(out_q - out_f)) < max(4 * bound, 1.0), (
+        np.max(np.abs(out_q - out_f)), bound)
+
+    # Fake-quant twin matches the real mxu2 forward.
+    fq = fake_quant_apply(model, amax, mode="mxu2")
+    got_fq = np.asarray(fq(variables, x))
+    np.testing.assert_allclose(got_fq, got, atol=5e-3)
+
+
+def test_denoiser_out_dtype_bf16():
+    """out_dtype='bfloat16' halves the output path; values must match
+    the f32 output within bf16 rounding."""
+    cfg = dataclasses.replace(DenoiserConfig.tiny(), norm="none",
+                              space_to_depth=2, dtype=jnp.bfloat16)
+    model = Denoiser(cfg)
+    x = jnp.asarray(np.random.default_rng(0).random((2, 32, 32)),
+                    jnp.float32)
+    variables = model.init(jax.random.key(1), x, train=False)
+    out32 = model.apply(variables, x, train=False)
+    model16 = Denoiser(dataclasses.replace(cfg, out_dtype="bfloat16"))
+    out16 = model16.apply(variables, x, train=False)
+    assert out16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(out16, np.float32),
+                               np.asarray(out32), atol=4e-3)
