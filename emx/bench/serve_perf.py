@@ -38,7 +38,11 @@ import jax.numpy as jnp
 
 def main(bundle: str = "docs/runs/flagship/artifact_int8.npz",
          out_dir: str = "docs/runs/flagship",
-         batches: tuple[int, ...] = (64, 96, 128, 192)) -> dict:
+         batches: tuple[int, ...] = (64, 96, 128, 192),
+         only: str = "") -> dict:
+    """`only`: substring filter over variant tags; when set, the batch
+    sweep is skipped (batch fixed at 96) and results append to any
+    existing serve_perf.json rows."""
     from emx.bench.quant_check import _psnr, _throughput, _val_ladder
     from emx.nn import Denoiser
     from emx.serve.artifact import load_denoiser_artifact
@@ -62,27 +66,51 @@ def main(bundle: str = "docs/runs/flagship/artifact_int8.npz",
         print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
 
     base_mode = quant["mode"]
-    # 1) batch sweep at the stored mode.
-    for b in batches:
-        fn = build(base_mode, "float32")
-        try:
-            r = _throughput(fn, batch=b)
-        except Exception as e:  # OOM at large batch is a result too
-            rows.append({"variant": f"{base_mode}/b{b}",
-                         "error": str(e)[:160]})
-            continue
-        rows.append({"variant": f"{base_mode}/b{b}", "img_per_s": r})
-        stage(f"{base_mode}/b{b}: {r} img/s")
-    best_b = max((r for r in rows if "img_per_s" in r),
-                 key=lambda r: r["img_per_s"])["variant"].split("b")[-1]
-    best_b = int(best_b)
+    if only:
+        prev = os.path.join(out_dir, "serve_perf.json")
+        if os.path.exists(prev):
+            with open(prev) as f:
+                rows = json.load(f).get("rows", [])
+        best_b = 96
+    else:
+        # 1) batch sweep at the stored mode.
+        for b in batches:
+            fn = build(base_mode, "float32")
+            try:
+                r = _throughput(fn, batch=b)
+            except Exception as e:  # OOM at large batch is a result too
+                rows.append({"variant": f"{base_mode}/b{b}",
+                             "error": str(e)[:160]})
+                continue
+            rows.append({"variant": f"{base_mode}/b{b}", "img_per_s": r})
+            stage(f"{base_mode}/b{b}: {r} img/s")
+        best_b = max((r for r in rows if "img_per_s" in r),
+                     key=lambda r: r["img_per_s"])["variant"]
+        best_b = int(best_b.split("b")[-1])
 
     # 2) graph variants at the best batch (PSNR must hold the gate).
-    for mode, odt in ((base_mode, "bfloat16"), ("mxu2", "float32"),
-                      ("mxu2", "bfloat16")):
-        tag = f"{mode}/out_{odt}/b{best_b}"
+    def build_fused(mode: str, rows_: int = 32):
+        from emx.serve.fused import fused_quantized_apply
+
+        model = Denoiser(cfg0)
+        return jax.jit(fused_quantized_apply(
+            model, variables, quant["amax"], mode,
+            skip=quant.get("skip", ()), rows=rows_))
+
+    variants = [(base_mode, "bfloat16", None), ("mxu2", "float32", None),
+                ("mxu2", "bfloat16", None),
+                (base_mode, "float32", 32), (base_mode, "float32", 64)]
+    for mode, odt, fused_rows in variants:
+        tag = (f"{mode}/out_{odt}/b{best_b}" if fused_rows is None
+               else f"{mode}/fused_r{fused_rows}/b{best_b}")
+        if only and only not in tag:
+            continue
+        if any(r.get("variant") == tag and "img_per_s" in r
+               for r in rows):
+            continue
         try:
-            fn = build(mode, odt)
+            fn = (build(mode, odt) if fused_rows is None
+                  else build_fused(mode, fused_rows))
             psnr = _psnr(fn(noisy).astype(jnp.float32), clean)
             r = _throughput(fn, batch=best_b)
             rows.append({"variant": tag, "img_per_s": r, "psnr": psnr})
@@ -106,4 +134,5 @@ def main(bundle: str = "docs/runs/flagship/artifact_int8.npz",
 if __name__ == "__main__":
     a = sys.argv[1:]
     main(a[0] if a else "docs/runs/flagship/artifact_int8.npz",
-         a[1] if len(a) > 1 else "docs/runs/flagship")
+         a[1] if len(a) > 1 else "docs/runs/flagship",
+         only=a[2] if len(a) > 2 else "")

@@ -1,0 +1,63 @@
+"""Serving-graph integration of the fused separable-conv Pallas kernel.
+
+`fused_quantized_apply` builds the same int8 deployment graph as
+emx.serve.quantize.quantized_apply, but SepConvBlocks that qualify
+(stride 1, rate 1, folded norm, relu6, spatial size above a threshold)
+run as ONE Pallas kernel (emx.ops.sepconv_kernel) instead of two XLA
+convs — the round-4 stage profile showed those 128^2 stages bound the
+served throughput at ~10% of MXU speed-of-light while every byte-diet
+lever measured neutral. Interception nests: the SepConvBlock-level
+interceptor claims qualifying blocks before the conv-level quantizer
+sees their convs (the fused path computes in the model dtype, bf16 —
+the pointwise loses int8 MXU rate but removes the dw->pw HBM round
+trip and the per-conv emitter overhead; quant_check gates the PSNR
+either way)."""
+
+from __future__ import annotations
+
+from typing import Any, Iterable
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from emx.nn.blocks import SepConvBlock, relu6
+from emx.ops.sepconv_kernel import fused_sepconv
+from emx.serve.quantize import quantized_apply
+
+
+def _qualifies(mod, x, min_pixels: int) -> bool:
+    return (isinstance(mod, SepConvBlock)
+            and mod.strides == 1 and mod.rate == 1
+            and mod.norm == "none" and mod.activation is relu6
+            and x.ndim == 4 and x.shape[1] * x.shape[2] >= min_pixels)
+
+
+def fused_quantized_apply(model, variables, amax: dict[str, Any],
+                          mode: str = "mxu",
+                          skip: Iterable[str] = (),
+                          min_pixels: int = 16384,
+                          rows: int = 32,
+                          interpret: bool = False):
+    """quantized_apply, with qualifying SepConvBlocks fused via Pallas.
+
+    Returns fn(x, train=False)."""
+    inner = quantized_apply(model, variables, amax, mode, skip=skip)
+
+    def sep_interceptor(next_fun, args, kwargs, context):
+        mod = context.module
+        if (context.method_name != "__call__"
+                or not _qualifies(mod, args[0], min_pixels)):
+            return next_fun(*args, **kwargs)
+        p = mod.variables["params"]
+        x = args[0]
+        return fused_sepconv(
+            x, p["Conv_0"]["kernel"], p["Conv_0"]["bias"],
+            p["Conv_1"]["kernel"], p["Conv_1"]["bias"],
+            rows=min(rows, x.shape[1]), interpret=interpret,
+        ).astype(x.dtype)
+
+    def apply_fn(x, train: bool = False):
+        with nn.intercept_methods(sep_interceptor):
+            return inner(x, train=train)
+
+    return apply_fn
