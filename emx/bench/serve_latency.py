@@ -89,6 +89,23 @@ def main(bundle: str = "docs/runs/flagship/artifact_int8.npz",
     def pct(p):
         return round(float(lat_ms[min(n - 1, int(p / 100 * n))]), 2)
 
+    # Oversize images take the overlapped-tiling route (reference
+    # Denoiser.denoise handles arbitrary shapes the same way,
+    # machine_learning/denoiser.py:653-682). Sequential requests: the
+    # tiled program already fills the chip, concurrency only queues.
+    oversize = {}
+    for os_size in (2048, 4096):
+        big = rng.random((os_size, os_size), np.float32)
+        _post(srv.port, big, timeout=600.0)  # compile
+        times = []
+        for _ in range(3):
+            t = time.perf_counter()
+            out_img = _post(srv.port, big, timeout=600.0)
+            times.append(time.perf_counter() - t)
+            assert out_img.shape == (os_size, os_size)
+        oversize[f"{os_size}x{os_size}_ms"] = round(
+            float(np.median(times)) * 1e3, 1)
+
     conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=30)
     conn.request("GET", "/metrics")
     metrics = json.loads(conn.getresponse().read())
@@ -101,6 +118,7 @@ def main(bundle: str = "docs/runs/flagship/artifact_int8.npz",
            "mean_ms": round(float(np.mean(lat_ms)), 2),
            "throughput_img_per_s": round(n / wall, 1),
            "warmup_s": round(warmup_s, 1),
+           "oversize_latency": oversize,
            "server_metrics": metrics}
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "serve_latency.json"), "w") as f:
