@@ -112,13 +112,28 @@ def main() -> None:
     if quant is not None:
         # The artifact ships a quant_check-verified int8 serving mode:
         # measure THAT graph (int8 fusion-boundary stores / MXU int8
-        # matmuls), not its float twin.
+        # matmuls), not its float twin. A hash-guarded serve_mode.json
+        # sidecar (emx.serve.fused.load_serve_mode, written by
+        # serve_perf at matched quality) may route qualifying 128^2
+        # SepConvBlocks through the fused Pallas kernel.
+        from emx.serve.fused import fused_quantized_apply, load_serve_mode
         from emx.serve.quantize import quantized_apply
 
-        def apply_fn(v, x):
-            return quantized_apply(model, v, quant["amax"],
-                                   mode=quant["mode"],
-                                   skip=quant.get("skip", ()))(x)
+        smode = load_serve_mode(artifact) or {}
+        if os.environ.get("EMX_BENCH_FUSED", ""):
+            smode = {"fused_rows": int(os.environ["EMX_BENCH_FUSED"])}
+        fused_rows = int(smode.get("fused_rows", 0))
+        if fused_rows:
+            def apply_fn(v, x):
+                return fused_quantized_apply(
+                    model, v, quant["amax"], mode=quant["mode"],
+                    skip=quant.get("skip", ()), rows=fused_rows,
+                    interpret=jax.default_backend() == "cpu")(x)
+        else:
+            def apply_fn(v, x):
+                return quantized_apply(model, v, quant["amax"],
+                                       mode=quant["mode"],
+                                       skip=quant.get("skip", ()))(x)
     else:
         def apply_fn(v, x):
             return model.apply(v, x, train=False)
@@ -182,6 +197,10 @@ def main() -> None:
 
             pb = measure_pipe(n_files=128)
             extras["host_loader_img_per_s"] = pb["host_loader_img_per_s"]
+            extras["host_loader_u16_img_per_s"] = pb.get(
+                "host_loader_u16_img_per_s")
+            extras["host_loader_u8_img_per_s"] = pb.get(
+                "host_loader_u8_img_per_s")
             extras["host_loader_tiff_img_per_s"] = pb.get(
                 "host_loader_tiff_img_per_s")
             extras["device_degrade_img_per_s"] = pb["device_degrade_img_per_s"]
@@ -201,7 +220,8 @@ def main() -> None:
                                if k not in ("amax", "skip")} | {
                 "n_quantized_convs": (len(quant["amax"])
                                       - len(quant.get("skip", ()))),
-                "n_skipped_convs": len(quant.get("skip", ()))}
+                "n_skipped_convs": len(quant.get("skip", ())),
+                "fused_rows": fused_rows}
         # The coupled quality evidence for the measured graph: the
         # training run's val-ladder PSNR vs the classical-filter bar
         # (quality.json is written next to the artifact by quality_run).

@@ -45,22 +45,34 @@ def measure(n_files: int = 256, crop: int = 512) -> dict:
     # (emx.data.harvest.pack_crops) and served via np.load(mmap_mode='r')
     # — page-cache-resident reads at memory rate, immune to the 1-core
     # decode contention that bounds the TIFF path.
-    packed = os.path.join(tmp, "packed.npy")
-    np.save(packed, rng.random((n_files, crop, crop)).astype(np.float32))
-    mm = np.load(packed, mmap_mode="r")
-    pipe2 = DataPipeline(mm, PipelineConfig(batch_size=32, crop_size=crop))
-    it2 = iter(pipe2)
-    next(it2)
-    # Median of 3 groups: the 1-core host is shared with whatever else
-    # the session runs, and one long window under a contention burst
-    # half-reports the rate (observed: 119 vs 3083 img/s run-to-run).
-    rates = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(n_batches):
-            next(it2)
-        rates.append(32 * n_batches / (time.perf_counter() - t0))
-    host_rate = sorted(rates)[1]
+    from emx.data.harvest import quantize_pack
+
+    base = rng.random((n_files, crop, crop)).astype(np.float32)
+
+    def packed_rate(dtype) -> float:
+        packed = os.path.join(tmp, f"packed_{np.dtype(dtype).name}.npy")
+        np.save(packed, quantize_pack(base, dtype))
+        mm = np.load(packed, mmap_mode="r")
+        pipe2 = DataPipeline(mm, PipelineConfig(batch_size=32,
+                                                crop_size=crop))
+        it2 = iter(pipe2)
+        next(it2)
+        # Median of 3 groups: the 1-core host is shared with whatever
+        # else the session runs, and one long window under a contention
+        # burst half-reports the rate (observed: 119 vs 3083 img/s).
+        rates = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(n_batches):
+                next(it2)
+            rates.append(32 * n_batches / (time.perf_counter() - t0))
+        return sorted(rates)[1]
+
+    host_rate = packed_rate(np.float32)
+    # Integer packs: the production diet for disk->chip serving (crops
+    # rescaled per-image; the train step renormalises per crop anyway).
+    host_rate_u16 = packed_rate(np.uint16)
+    host_rate_u8 = packed_rate(np.uint8)
 
     # On-device degradation rate (runs inside the train step in practice).
     # Everything — key derivation included — inside ONE jit per launch:
@@ -89,6 +101,8 @@ def measure(n_files: int = 256, crop: int = 512) -> dict:
     return {
         "metric": "input_pipeline",
         "host_loader_img_per_s": round(host_rate, 1),
+        "host_loader_u16_img_per_s": round(host_rate_u16, 1),
+        "host_loader_u8_img_per_s": round(host_rate_u8, 1),
         "host_loader_tiff_img_per_s": round(tiff_rate, 1),
         "device_degrade_img_per_s": round(degrade_rate, 1),
         "crop": crop,

@@ -187,11 +187,22 @@ def crop_dataset(
     return counts
 
 
-def pack_crops(crop_dir: str, out_path: str, tile: int = 512) -> int:
+def pack_crops(crop_dir: str, out_path: str, tile: int = 512,
+               dtype=np.float32) -> int:
     """Pack a directory of same-size TIFF crops into one (N, tile, tile)
-    float32 .npy — the training fast path (memmap-able; the host TIFF
-    loader tops out ~300 img/s at 512^2, the packed array is memory-rate).
-    Returns N."""
+    .npy — the training fast path (memmap-able; the host TIFF loader
+    tops out ~300 img/s at 512^2, the packed array is memory-rate).
+
+    `dtype=np.uint16` (or uint8) stores each crop rescaled to the full
+    integer range: 2x (4x) fewer bytes at rest AND per loader batch —
+    the right trade on a host whose memory rate bounds disk->chip
+    serving (pipeline_bench host rows). Training consumes either
+    transparently: every example_fn opens with a per-crop scale0to1 /
+    norm_neg1to1 (denoiser-multi-gpu.py:816-828 semantics), so the
+    per-crop affine applied here cancels exactly; the integer->float
+    cast happens on device inside the jitted step. uint16 quantization
+    error (~1/65535) is far below the Poisson noise the degradation
+    model adds. Returns N."""
     import glob as _g
 
     from emx.io.tiff import read_tiff
@@ -203,8 +214,20 @@ def pack_crops(crop_dir: str, out_path: str, tile: int = 512) -> int:
     for i, p in enumerate(paths):
         out[i] = read_tiff(p, fallback_shape=(tile, tile))[:tile, :tile]
     os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
-    np.save(out_path, out)
+    np.save(out_path, quantize_pack(out, dtype))
     return len(paths)
+
+
+def quantize_pack(stack: np.ndarray, dtype=np.uint16) -> np.ndarray:
+    """Rescale each crop of (N, H, W) float to the full range of an
+    integer `dtype` (no-op for float dtypes) — see pack_crops."""
+    if not np.issubdtype(dtype, np.integer):
+        return stack.astype(dtype)
+    maxv = float(np.iinfo(dtype).max)
+    lo = stack.min(axis=(-2, -1), keepdims=True)
+    hi = stack.max(axis=(-2, -1), keepdims=True)
+    span = np.maximum(hi - lo, 1e-12)
+    return np.round((stack - lo) / span * maxv).astype(dtype)
 
 
 def stats_to_csv(manifests: list[Manifest], csv_path: str) -> None:

@@ -32,6 +32,34 @@ def _qualifies(mod, x, min_pixels: int) -> bool:
             and x.ndim == 4 and x.shape[1] * x.shape[2] >= min_pixels)
 
 
+def load_serve_mode(bundle_path: str) -> dict | None:
+    """Optional serving-mode sidecar next to a deployment bundle.
+
+    `serve_mode.json` records serving-graph choices that do NOT change
+    the bundle's bytes (the flagship bundle is single-writer through
+    flagship_decision; a graph-layout preference must not re-write it):
+    currently {"fused_rows": N} to run qualifying SepConvBlocks through
+    the Pallas kernel. Guarded by the bundle's content hash — a stale
+    sidecar next to a newly promoted bundle is ignored. Written by
+    emx.bench.serve_perf when a fused variant wins at matched quality;
+    honored by bench.py and emx.serve.server.serve_artifact."""
+    import hashlib
+    import json
+    import os
+
+    p = os.path.join(os.path.dirname(os.path.abspath(bundle_path)),
+                     "serve_mode.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        mode = json.load(f)
+    with open(bundle_path, "rb") as f:
+        sha = hashlib.sha256(f.read()).hexdigest()[:12]
+    if mode.get("bundle_sha") != sha:
+        return None
+    return mode
+
+
 def fused_quantized_apply(model, variables, amax: dict[str, Any],
                           mode: str = "mxu",
                           skip: Iterable[str] = (),

@@ -254,12 +254,25 @@ def serve_artifact(artifact_path: str, tile: int = 512,
 
         if quant is not None:
             # int8-promoted bundle: serve the gate-checked quantized
-            # graph — the same program bench.py measures.
+            # graph — the same program bench.py measures (including the
+            # hash-guarded serve_mode.json sidecar routing 128^2
+            # SepConvBlocks through the fused Pallas kernel).
+            from emx.serve.fused import fused_quantized_apply, \
+                load_serve_mode
             from emx.serve.quantize import quantized_apply
 
-            apply_fn = _jax.jit(quantized_apply(
-                model, variables, quant["amax"], mode=quant["mode"],
-                skip=quant.get("skip", ())))
+            smode = load_serve_mode(artifact_path) or {}
+            fused_rows = int(kw.pop("fused_rows",
+                                    smode.get("fused_rows", 0)))
+            if fused_rows:
+                apply_fn = _jax.jit(fused_quantized_apply(
+                    model, variables, quant["amax"], mode=quant["mode"],
+                    skip=quant.get("skip", ()), rows=fused_rows,
+                    interpret=_jax.default_backend() == "cpu"))
+            else:
+                apply_fn = _jax.jit(quantized_apply(
+                    model, variables, quant["amax"], mode=quant["mode"],
+                    skip=quant.get("skip", ())))
         else:
             apply_fn = _jax.jit(
                 lambda x: model.apply(variables, x, train=False))
@@ -276,6 +289,7 @@ def serve_artifact(artifact_path: str, tile: int = 512,
         info = {"model": "denoiser", "s2d": cfg.space_to_depth,
                 "folded_head": cfg.folded_head,
                 "quant": None if quant is None else quant["mode"],
+                "fused_rows": fused_rows if quant is not None else 0,
                 "tile": tile, "overlap": overlap}
     else:
         from emx.serve.export import load_artifact

@@ -201,6 +201,12 @@ class Trainer:
             rng = jax.random.wrap_key_data(state.rng)
             step_key = jax.random.fold_in(rng, state.step)
             if example_fn is not None:
+                # Integer-packed corpora (pack_crops dtype=uint8/uint16)
+                # upload raw bytes and convert HERE on device: host-side
+                # loader traffic drops 2-4x, and every example_fn opens
+                # with a per-crop renormalisation (scale0to1 /
+                # norm_neg1to1) so the absolute integer scale is moot.
+                batch = batch.astype(jnp.float32)
                 keys = jax.random.split(step_key, batch.shape[0])
                 if probed:
                     inputs, targets = jax.vmap(

@@ -167,6 +167,9 @@ class GANTrainer:
             k_ex, k_cf, k_cr, k_flip_f, k_flip_r, k_lab = jax.random.split(k, 6)
 
             if example_fn is not None:
+                # Device-side cast: integer-packed corpora upload raw
+                # (see emx.train.engine step / emx.data.harvest.pack_crops).
+                batch = batch.astype(jnp.float32)
                 keys = jax.random.split(k_ex, batch.shape[0])
                 lq, truth = jax.vmap(example_fn)(keys, batch)
             else:

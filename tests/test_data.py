@@ -286,3 +286,53 @@ def test_mixed_micrographs_v2_includes_grains():
     assert v2.shape == v1.shape == (8, 64, 64)
     assert not np.allclose(v2, v1)
     np.testing.assert_allclose(v2, mixed_micrographs(8, 64, seed=5))
+
+
+def test_pipeline_integer_pack_fast_path():
+    """Packed integer corpora flow through DataPipeline dtype-preserving
+    (the device-side cast in the train step is what converts), and the
+    per-crop affine of quantize_pack cancels under scale0to1."""
+    import jax.numpy as jnp
+
+    from emx.data.harvest import quantize_pack
+    from emx.utils.image import scale0to1
+
+    data = synthetic_micrographs(8, 32)
+    q16 = quantize_pack(data, np.uint16)
+    assert q16.dtype == np.uint16
+
+    cfg = PipelineConfig(batch_size=4, crop_size=32, seed=3)
+    batch = next(iter(DataPipeline(q16, cfg)))
+    assert batch.dtype == np.uint16
+    assert batch.shape == (4, 32, 32)
+
+    # Same order as the float pipeline (the fast path only changes HOW
+    # the gather happens, not WHAT it yields).
+    fbatch = next(iter(DataPipeline(data, cfg)))
+    a = np.asarray(scale0to1(jnp.asarray(batch, jnp.float32),
+                             axis=(-2, -1)))
+    b = np.asarray(scale0to1(jnp.asarray(fbatch), axis=(-2, -1)))
+    np.testing.assert_allclose(a, b, atol=2.0 / 65535)
+
+
+def test_trainer_step_accepts_integer_batch():
+    """The jitted train step casts integer-packed batches on device."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from emx.data.degrade import denoiser_example
+    from emx.data.harvest import quantize_pack
+    from emx.nn import Denoiser, DenoiserConfig
+    from emx.train.engine import TrainConfig, Trainer
+
+    cfg = dataclasses.replace(DenoiserConfig.tiny(), norm="group")
+    trainer = Trainer(Denoiser(cfg),
+                      TrainConfig(learning_rate=1e-3, log_every=100),
+                      example_fn=denoiser_example)
+    data = quantize_pack(synthetic_micrographs(4, 32), np.uint16)
+    state = trainer.init(jnp.asarray(data[:2], jnp.float32))
+    step0 = int(state.step)  # step_fn donates `state`
+    state2, metrics = trainer.step_fn(state, jnp.asarray(data[:2]))
+    assert int(state2.step) == step0 + 1
+    assert np.isfinite(float(metrics["loss"]))

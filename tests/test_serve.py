@@ -328,3 +328,60 @@ def test_serve_arbitrary_size_routes_through_tiling(tmp_path):
         assert out2.shape == (64, 64)
     finally:
         srv.stop()
+
+
+def test_serve_mode_sidecar(tmp_path):
+    """serve_mode.json routes serving through the fused Pallas path only
+    when its bundle hash matches; a stale sidecar is ignored."""
+    import dataclasses
+    import hashlib
+    import io
+    import json
+    import urllib.request
+
+    import jax
+
+    from emx.nn import Denoiser, DenoiserConfig
+    from emx.serve.artifact import save_denoiser_artifact
+    from emx.serve.fused import load_serve_mode
+    from emx.serve.quantize import calibrate, quantized_apply
+    from emx.serve.server import serve_artifact
+
+    cfg = dataclasses.replace(DenoiserConfig.tiny(), norm="none",
+                              space_to_depth=4, folded_head=8)
+    model = Denoiser(cfg)
+    x = jnp.asarray(np.random.default_rng(5).random((1, 64, 64)),
+                    jnp.float32)
+    variables = model.init(jax.random.key(0), x, train=False)
+    amax = calibrate(model, variables, [x])
+    p = str(tmp_path / "artifact_int8.npz")
+    save_denoiser_artifact(p, cfg, variables,
+                           quant={"mode": "mxu", "amax": amax,
+                                  "psnr": 1.0})
+
+    side = tmp_path / "serve_mode.json"
+    side.write_text(json.dumps({"fused_rows": 32, "bundle_sha": "bad"}))
+    assert load_serve_mode(p) is None  # hash mismatch -> ignored
+
+    sha = hashlib.sha256(open(p, "rb").read()).hexdigest()[:12]
+    side.write_text(json.dumps({"fused_rows": 32, "bundle_sha": sha}))
+    assert load_serve_mode(p)["fused_rows"] == 32
+
+    # Served output through the fused build path (no tiny block reaches
+    # min_pixels, so numerics match the plain quantized graph exactly —
+    # this exercises the sidecar plumbing and the fused build).
+    expect = np.asarray(
+        jax.jit(quantized_apply(model, variables, amax, "mxu"))(x))[0]
+    srv = serve_artifact(p, tile=64, port=0)
+    try:
+        assert srv.model_info["fused_rows"] == 32
+        buf = io.BytesIO()
+        np.save(buf, np.asarray(x[0]))
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/api/predict",
+            data=buf.getvalue())
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            out = np.load(io.BytesIO(resp.read()))
+        np.testing.assert_allclose(out, expect, atol=1e-5)
+    finally:
+        srv.stop()
