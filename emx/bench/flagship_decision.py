@@ -207,6 +207,22 @@ def main(out_dir: str = "docs/runs/flagship",
         out["promoted"] = True
         out["promoted_to"] = FLAGSHIP
         out["promoted_sha256"] = winner["sha256"]
+        # Refresh the flagship's coupled quality evidence from the
+        # winner's OWN decision row (bench.py reads quality.json next
+        # to the artifact; leaving the previous training run's record
+        # there cites a float parent the shipped bundle no longer has).
+        with open(os.path.join(out_dir, "quality.json"), "w") as f:
+            json.dump({
+                "metric": "flagship_quality",
+                "from_decision_sha256": winner["sha256"],
+                "nn_psnr": winner["val"]["nn_psnr"],
+                "best_classical": winner["val"]["best_classical"],
+                "identity_psnr": winner["val"]["identity_psnr"],
+                "ood": {k: winner[k]["nn_psnr"]
+                        for k in ("ood_ctf", "ood_grains",
+                                  "ood_filaments") if k in winner},
+                "img_per_s_at_decision": winner.get("img_per_s"),
+            }, f, indent=1)
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "DECISION.json"), "w") as f:
         json.dump(out, f, indent=1)
