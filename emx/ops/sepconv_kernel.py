@@ -34,35 +34,37 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _sepconv_kernel(x_ref, dw_ref, dwb_ref, pw_ref, pwb_ref, out_ref,
                     *, rows: int):
-    x = x_ref[0]                       # (H, W, C)
-    h, w, c = x.shape
-    n_t = h // rows
-    dw = dw_ref[:].astype(jnp.float32)        # (3, 3, C)
-    dwb = dwb_ref[:].astype(jnp.float32)      # (C,)
-    pwb = pwb_ref[:].astype(jnp.float32)      # (Co,)
+    # Grid is (batch, row-tiles). The input block is the WHOLE padded
+    # image but its index map ignores the tile axis, so Pallas keeps it
+    # resident in VMEM across the inner grid steps (one fetch per
+    # image); only the (rows, W, Co) output tile is double-buffered —
+    # this is what bounds VMEM at 128-in/128-out where holding both
+    # full images blew past the budget (the first on-chip failure).
+    t = pl.program_id(1)
+    xp = x_ref[0, pl.ds(t * rows, rows + 2)]   # (rows+2, W+2, C)
+    w = xp.shape[1] - 2
+    c = xp.shape[2]
+    dw = dw_ref[:].astype(jnp.float32)         # (3, 3, C)
+    dwb = dwb_ref[:].astype(jnp.float32)       # (C,)
+    pwb = pwb_ref[:].astype(jnp.float32)       # (Co,)
 
-    for t in range(n_t):               # static unroll
-        lo = t * rows - 1
-        hi = t * rows + rows + 1
-        pad_top = 1 if t == 0 else 0
-        pad_bot = 1 if t == n_t - 1 else 0
-        tile = x[max(lo, 0):min(hi, h), :, :]
-        # (rows+2, W+2, C) with SAME zero-padding at the image edges.
-        xp = jnp.pad(tile, ((pad_top, pad_bot), (1, 1), (0, 0)))
-        acc = jnp.zeros((rows, w, c), jnp.float32)
-        for ky in range(3):
-            for kx in range(3):
-                acc = acc + (xp[ky:ky + rows, kx:kx + w, :]
-                             .astype(jnp.float32) * dw[ky, kx, :])
-        hbuf = (acc + dwb).astype(x.dtype)
-        y = jax.lax.dot_general(
-            hbuf.reshape(rows * w, c), pw_ref[:],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        y = jnp.clip(y + pwb, 0.0, 6.0)       # bias + relu6
-        out_ref[0, t * rows:(t + 1) * rows] = (
-            y.reshape(rows, w, -1).astype(out_ref.dtype))
+    acc = jnp.zeros((rows, w, c), jnp.float32)
+    for ky in range(3):
+        for kx in range(3):
+            acc = acc + (xp[ky:ky + rows, kx:kx + w, :]
+                         .astype(jnp.float32) * dw[ky, kx, :])
+    hbuf = (acc + dwb).astype(xp.dtype)
+    # Cast the pointwise weights to the activation dtype: serving
+    # graphs carry f32 params over bf16 activations, and a
+    # mixed-dtype dot does not lower to the MXU (the second on-chip
+    # failure mode).
+    y = jax.lax.dot_general(
+        hbuf.reshape(rows * w, c), pw_ref[:].astype(xp.dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    y = jnp.clip(y + pwb, 0.0, 6.0)            # bias + relu6
+    out_ref[0] = y.reshape(rows, w, -1).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("rows", "interpret"))
@@ -80,23 +82,29 @@ def fused_sepconv(x: jax.Array, dw_kernel: jax.Array, dw_bias: jax.Array,
     pw = pw_kernel.reshape(c, -1)
     co = pw.shape[-1]
     assert h % rows == 0, (h, rows)
+    n_t = h // rows
+    # SAME zero-padding happens ONCE in XLA (one cheap HBM copy per
+    # call) so every row tile reads a uniform (rows+2, W+2, C) window —
+    # no edge cases, no in-kernel pad (which Mosaic lowers poorly).
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
 
     return pl.pallas_call(
         functools.partial(_sepconv_kernel, rows=rows),
-        grid=(b,),
+        grid=(b, n_t),
         in_specs=[
-            pl.BlockSpec((1, h, w, c), lambda bi: (bi, 0, 0, 0),
+            pl.BlockSpec((1, h + 2, w + 2, c), lambda bi, ti: (bi, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, h, w, co), lambda bi: (bi, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, rows, w, co),
+                               lambda bi, ti: (bi, ti, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, w, co), x.dtype),
         interpret=interpret,
-    )(x, dw, dw_bias, pw, pw_bias)
+    )(xp, dw, dw_bias, pw, pw_bias)
 
 
 def sepconv_reference(x, dw_kernel, dw_bias, pw_kernel, pw_bias):
