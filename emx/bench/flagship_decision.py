@@ -62,10 +62,40 @@ def _sha256(path: str, n: int = 1 << 20) -> str:
     return h.hexdigest()
 
 
+def family_rows(nn_fn, ladders: dict | None = None,
+                families=None) -> dict:
+    """Score `nn_fn` on every policy family: per-family nn PSNR, best
+    classical filter, and the margin over it — the exact quantities
+    select_winner() judges. Shared with emx.bench.qat_finetune so the
+    distill ladder optimizes the score it will be gated by (round-4
+    verdict: val-PSNR-maximizing candidates were vetoed on OOD margin,
+    burning chip time)."""
+    from emx.analysis.filters import compare_denoisers
+
+    if ladders is None:
+        ladders = {f: (_val_ladder() if f == "val"
+                       else _ood_ladder(family=f.split("_", 1)[1]))
+                   for f in (families or FAMILIES)}
+    rows = {}
+    for fam, (noisy, clean) in ladders.items():
+        res = compare_denoisers(noisy, clean, nn_fn=nn_fn)
+        classical = {k: round(v["psnr"], 3) for k, v in res.items()
+                     if k != "nn"}
+        best = max(classical.items(), key=lambda kv: kv[1])
+        nn = round(res["nn"]["psnr"], 3)
+        rows[fam] = {"nn_psnr": nn, "best_classical": list(best),
+                     "margin": round(nn - best[1], 3),
+                     "identity_psnr": _psnr(noisy, clean)}
+    return rows
+
+
+def capped_margin_sum(rows: dict, cap_db: float = 1.0) -> float:
+    return round(sum(min(rows[f]["margin"], cap_db) for f in rows), 3)
+
+
 def _score_bundle(bundle: str, ladders: dict) -> dict:
     import dataclasses
 
-    from emx.analysis.filters import compare_denoisers
     from emx.nn import Denoiser
     from emx.serve.artifact import load_denoiser_artifact
     from emx.serve.quantize import quantized_apply
@@ -83,15 +113,7 @@ def _score_bundle(bundle: str, ladders: dict) -> dict:
 
     row = {"bundle": bundle, "sha256": _sha256(bundle),
            "quant_mode": (quant or {}).get("mode", "float")}
-    for fam, (noisy, clean) in ladders.items():
-        res = compare_denoisers(noisy, clean, nn_fn=nn_fn)
-        classical = {k: round(v["psnr"], 3) for k, v in res.items()
-                     if k != "nn"}
-        best = max(classical.items(), key=lambda kv: kv[1])
-        nn = round(res["nn"]["psnr"], 3)
-        row[fam] = {"nn_psnr": nn, "best_classical": list(best),
-                    "margin": round(nn - best[1], 3),
-                    "identity_psnr": _psnr(noisy, clean)}
+    row.update(family_rows(nn_fn, ladders))
     row["img_per_s"] = _throughput(nn_fn)
     return row
 
@@ -130,7 +152,8 @@ def select_winner(rows: list[dict], psnr_gate: float, rate_gate: float,
     return max(near, key=lambda r: r["val"]["nn_psnr"])
 
 
-FAMILIES = ("val", "ood_ctf", "ood_grains", "ood_filaments")
+FAMILIES = ("val", "ood_ctf", "ood_grains", "ood_filaments",
+            "ood_porous")
 
 
 def main(out_dir: str = "docs/runs/flagship",
@@ -153,6 +176,17 @@ def main(out_dir: str = "docs/runs/flagship",
         # carry content hashes, so provenance holds).
         with open(os.path.join(out_dir, "DECISION.json")) as f:
             rows = json.load(f)["candidates"]
+        # Rows written under an older policy (fewer families, no
+        # content hash) cannot be re-scored — fail with the remedy
+        # rather than a KeyError deep in score()/promotion.
+        need = set(FAMILIES) | {"sha256"}
+        stale = [r.get("bundle", "?") for r in rows
+                 if not need.issubset(r)]
+        if stale:
+            raise SystemExit(
+                "DECISION.json rows predate the current "
+                f"{len(FAMILIES)}-family policy (missing keys on: "
+                f"{stale}); re-run without --reselect to re-score.")
     else:
         ladders = {f: (_val_ladder() if f == "val"
                        else _ood_ladder(family=f.split("_", 1)[1]))
@@ -219,8 +253,7 @@ def main(out_dir: str = "docs/runs/flagship",
                 "best_classical": winner["val"]["best_classical"],
                 "identity_psnr": winner["val"]["identity_psnr"],
                 "ood": {k: winner[k]["nn_psnr"]
-                        for k in ("ood_ctf", "ood_grains",
-                                  "ood_filaments") if k in winner},
+                        for k in FAMILIES[1:] if k in winner},
                 "img_per_s_at_decision": winner.get("img_per_s"),
             }, f, indent=1)
     os.makedirs(out_dir, exist_ok=True)

@@ -301,10 +301,11 @@ def head_distill(artifact: str, out_dir: str = "docs/runs/qat_r3",
     capture_fn = jax.jit(quantized_apply(model, variables, amax, mode,
                                          capture=caps))
 
-    if corpus == "mixed":
+    if corpus in ("mixed", "mixed3"):
         from emx.data.pipeline import mixed_micrographs
 
-        corpus_imgs = mixed_micrographs(1024, noisy.shape[-1], seed=0)
+        corpus_imgs = mixed_micrographs(1024, noisy.shape[-1], seed=0,
+                                        filaments=corpus == "mixed3")
     else:
         corpus_imgs = synthetic_micrographs(1024, noisy.shape[-1],
                                             seed=0)
@@ -375,12 +376,20 @@ def head_distill(artifact: str, out_dir: str = "docs/runs/qat_r3",
         jax.jit(lambda x: model.apply(new_vars, x, train=False))(noisy),
         clean)
     out["qat_img_per_s"] = _throughput(qfn)
-    # Out-of-family robustness is reported for every distill run (the
-    # synthetic-only specialization was only caught once measured).
+    # Score the candidate on the FULL flagship-decision policy (every
+    # family + capped margin sum) so the distill ladder optimizes the
+    # number it will be judged by — round-4's val-PSNR-maximizing
+    # stacked candidates were correctly vetoed by the decision gate on
+    # OOD margin, i.e. chip time went to unshippable bundles.
+    from emx.bench.flagship_decision import (capped_margin_sum,
+                                             family_rows)
     from emx.bench.quant_check import _ood_ladder
 
+    fams = family_rows(qfn)
+    out["families"] = fams
+    out["capped_margin_sum"] = capped_margin_sum(fams)
+    out["ood_psnr"] = fams["ood_ctf"]["nn_psnr"]
     ood_noisy, ood_clean = _ood_ladder()
-    out["ood_psnr"] = _psnr(qfn(ood_noisy), ood_clean)
     out["ood_psnr_before"] = _psnr(
         jax.jit(quantized_apply(model, variables, amax, mode))(ood_noisy),
         ood_clean)
@@ -411,6 +420,7 @@ def head_distill(artifact: str, out_dir: str = "docs/runs/qat_r3",
         "mode": mode, "amax": amax2, "psnr": out["qat_psnr"],
         "float_psnr": out["qat_float_psnr"],
         "ood_psnr": out["ood_psnr"],
+        "capped_margin_sum": out["capped_margin_sum"],
         "psnr_gate": psnr_gate,
         "img_per_s_at_check": out["qat_img_per_s"],
         "qat": {"kind": "tail_distill" if deep else "head_distill",

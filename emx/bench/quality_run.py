@@ -62,15 +62,18 @@ def main(out_dir: str, s2d: int = 2, steps: int = 5000,
                        ckpt_every_steps=1000, model_dir=out_dir, seed=0)
     trainer = Trainer(model, tcfg, example_fn=denoiser_example)
 
-    if corpus == "mixed":
-        # Diverse corpus (3/4 synthetic + 1/4 CTF lattices): the
-        # synthetic-only corpus produced a model at identity-level PSNR
-        # on lattice images (docs/runs/quant_r3/ood_check.json); the
-        # reference trains on a diverse real harvest
-        # (denoiser-multi-gpu.py:84-92).
+    if corpus in ("mixed", "mixed3"):
+        # Diverse corpus: the synthetic-only corpus produced a model at
+        # identity-level PSNR on lattice images
+        # (docs/runs/quant_r3/ood_check.json); the reference trains on a
+        # diverse real harvest (denoiser-multi-gpu.py:84-92). 'mixed' is
+        # the round-4 three-family mix; 'mixed3' adds the filament
+        # family (the grains recipe applied to the round-4 −2.48 dB
+        # filaments loss; porous becomes the eval-only OOD probe).
         from emx.data.pipeline import mixed_micrographs
 
-        train_imgs = mixed_micrographs(1024, size, seed=0)
+        train_imgs = mixed_micrographs(1024, size, seed=0,
+                                       filaments=corpus == "mixed3")
     else:
         train_imgs = synthetic_micrographs(1024, size, seed=0)
     val_imgs = synthetic_micrographs(32, size, seed=999)

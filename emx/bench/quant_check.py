@@ -66,17 +66,21 @@ def _ood_ladder(n=32, size=512, family="ctf"):
     Voronoi micrographs (seed 321; held-out-in-family once grains
     joined the round-4 training mix, true OOD for earlier bundles).
     family='filaments': curvilinear worm-like tubes + vesicle rings
-    (seed 777) — NEVER in any training corpus, the standing true-OOD
-    probe."""
+    (seed 777; held-out-in-family once filaments joined the round-5
+    'mixed3' training mix — training seed 40_000). family='porous':
+    bicontinuous spinodal foam (seed 444) — NEVER in any training
+    corpus, the standing true-OOD probe."""
     from emx.data.degrade import poisson_dose
     from emx.data.pipeline import (ctf_micrographs, filament_micrographs,
-                                   grain_micrographs)
+                                   grain_micrographs, porous_micrographs)
     from emx.utils.image import sanitize, scale0to1
 
     if family == "grains":
         imgs = jnp.asarray(grain_micrographs(n, size, seed=321))
     elif family == "filaments":
         imgs = jnp.asarray(filament_micrographs(n, size, seed=777))
+    elif family == "porous":
+        imgs = jnp.asarray(porous_micrographs(n, size, seed=444))
     else:
         imgs = jnp.asarray(ctf_micrographs(n, size, seed=555))
     doses = jnp.asarray(np.linspace(25.0, 150.0, n).astype(np.float32))
@@ -342,8 +346,10 @@ def ood_check(bundle: str = "docs/runs/flagship/artifact_int8.npz",
                  if k != "nn"}
     best = max(classical.items(), key=lambda kv: kv[1])
     out = {"metric": "ood_check", "bundle": bundle,
-           "family": ("grain_micrographs" if family == "grains"
-                      else "ctf_micrographs"),
+           "family": {"grains": "grain_micrographs",
+                      "filaments": "filament_micrographs",
+                      "porous": "porous_micrographs"}.get(
+                          family, "ctf_micrographs"),
            "quant_mode": (quant or {}).get("mode", "float"),
            "nn_psnr": round(results["nn"]["psnr"], 3),
            "nn_float_psnr": float_psnr,

@@ -84,8 +84,19 @@ def main(bundle: str = "docs/runs/flagship/artifact_int8.npz",
                 continue
             rows.append({"variant": f"{base_mode}/b{b}", "img_per_s": r})
             stage(f"{base_mode}/b{b}: {r} img/s")
-        best_b = max((r for r in rows if "img_per_s" in r),
-                     key=lambda r: r["img_per_s"])["variant"]
+        ok_rows = [r for r in rows if "img_per_s" in r]
+        if not ok_rows:
+            # Every batch errored (e.g. all OOM): the error rows ARE the
+            # result — write them and stop instead of crashing on an
+            # empty max() (round-4 advisor finding).
+            out = {"metric": "serve_perf", "bundle": bundle,
+                   "rows": rows, "error": "no batch size succeeded"}
+            with open(os.path.join(out_dir, "serve_perf.json"),
+                      "w") as f:
+                json.dump(out, f, indent=1)
+            print(json.dumps(out), flush=True)
+            return out
+        best_b = max(ok_rows, key=lambda r: r["img_per_s"])["variant"]
         best_b = int(best_b.split("b")[-1])
 
     # 2) graph variants at the best batch (PSNR must hold the gate).

@@ -423,8 +423,52 @@ def filament_micrographs(n: int, size: int = 512, seed: int = 0) -> np.ndarray:
     return out
 
 
+def porous_micrographs(n: int, size: int = 512, seed: int = 0) -> np.ndarray:
+    """FOURTH out-of-family evaluation family: bicontinuous porous /
+    spinodal-foam micrographs — band-pass-filtered Gaussian noise,
+    soft-thresholded into interpenetrating bright matrix and dark pore
+    networks with a single characteristic length (e.g. nanoporous gold,
+    block-copolymer morphologies, dealloyed foams). Morphologically
+    distinct from every other family: isotropic labyrinthine domains —
+    no lattice fringes (synthetic), no point-atom CTF texture (ctf), no
+    piecewise-stationary Voronoi patches (grains), no sparse curvilinear
+    tubes over smooth background (filaments). EVAL-ONLY — never enters
+    any training corpus; once filaments joined the round-5 training mix
+    this family became the true OOD probe (emx.bench.quant_check ood,
+    family='porous'). Stands in for corpus breadth the reference gets
+    from its real 65k-micrograph harvest
+    (reference misc_py/denoiser-multi-gpu.py:84-92)."""
+    rng = np.random.default_rng(seed)
+    f = np.fft.fftfreq(size).astype(np.float32)
+    k = np.sqrt(f[:, None] ** 2 + f[None, :] ** 2)
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+    out = np.empty((n, size, size), np.float32)
+    for i in range(n):
+        # Annular band-pass around a random characteristic frequency:
+        # the spinodal-decomposition spectrum (single dominant length).
+        k0 = rng.uniform(8.0, 40.0) / size
+        bw = k0 * rng.uniform(0.25, 0.6)
+        band = np.exp(-0.5 * ((k - k0) / bw) ** 2).astype(np.float32)
+        noise = rng.normal(0, 1, (size, size)).astype(np.float32)
+        field = np.fft.ifft2(np.fft.fft2(noise) * band).real
+        field /= max(field.std(), 1e-9)
+        # Soft threshold -> two interpenetrating phases with smooth
+        # interfaces; random volume fraction and interface sharpness.
+        bias = rng.uniform(-0.4, 0.4)
+        sharp = rng.uniform(1.5, 4.0)
+        img = 0.5 * (1.0 + np.tanh(sharp * (field - bias)))
+        # Mild pore-interior shading + smooth illumination gradient.
+        img = img * rng.uniform(0.6, 0.9) + rng.uniform(0.05, 0.2)
+        gy, gx = rng.uniform(-0.15, 0.15, 2)
+        img = img + gy * (yy - 0.5) + gx * (xx - 0.5)
+        lo, hi = img.min(), img.max()
+        out[i] = (img - lo) / max(hi - lo, 1e-9)
+    return out
+
+
 def mixed_micrographs(n: int, size: int = 512, seed: int = 0,
-                      grains: bool = True) -> np.ndarray:
+                      grains: bool = True,
+                      filaments: bool = False) -> np.ndarray:
     """Diverse training corpus. The reference trains on a diverse real
     harvest (denoiser-multi-gpu.py:84-92); a single synthetic family is
     too narrow a stand-in — the round-3 ood_check measured a
@@ -433,16 +477,25 @@ def mixed_micrographs(n: int, size: int = 512, seed: int = 0,
     ~5 dB on grains. Composition (grains=True, the round-4 default):
     1/2 `synthetic_micrographs` + 1/4 `ctf_micrographs` + 1/4
     `grain_micrographs`; grains=False restores the round-3 mix (3/4
-    synthetic + 1/4 ctf). Seeds are offset so no eval ladder leaks in
-    (val: synthetic seed 999; ctf eval seed 555; grains eval seed 321;
-    filaments stay out of EVERY training corpus — the true OOD probe)."""
+    synthetic + 1/4 ctf). filaments=True (the round-5 'mixed3' corpus)
+    further adds 1/4 `filament_micrographs` — the grains recipe applied
+    to the family the round-4 flagship lost by 2.48 dB — at 1/4 each of
+    all four families; `porous_micrographs` then becomes the standing
+    eval-only true-OOD probe. Seeds are offset so no eval ladder leaks
+    in (val: synthetic seed 999; ctf eval seed 555; grains eval seed
+    321; filaments eval seed 777 vs training seed +40_000; porous stays
+    out of EVERY training corpus)."""
     n_ctf = n // 4
     n_grain = n // 4 if grains else 0
-    a = synthetic_micrographs(n - n_ctf - n_grain, size, seed=seed)
+    n_fil = n // 4 if filaments else 0
+    a = synthetic_micrographs(n - n_ctf - n_grain - n_fil, size, seed=seed)
     b = ctf_micrographs(n_ctf, size, seed=seed + 10_000)
     parts = [a, b]
     if n_grain:
         parts.append(grain_micrographs(n_grain, size, seed=seed + 30_000))
+    if n_fil:
+        parts.append(filament_micrographs(n_fil, size,
+                                          seed=seed + 40_000))
     out = np.concatenate(parts, axis=0)
     rng = np.random.default_rng(seed + 20_000)
     rng.shuffle(out)

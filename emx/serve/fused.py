@@ -78,10 +78,21 @@ def fused_quantized_apply(model, variables, amax: dict[str, Any],
             return next_fun(*args, **kwargs)
         p = mod.variables["params"]
         x = args[0]
+        # fused_sepconv tiles whole row-bands: pick the largest divisor
+        # of H that fits the requested band height, and fall back to the
+        # unfused path when none does (a non-default serve tile, e.g.
+        # 544 -> 136-row stages, must degrade gracefully rather than
+        # assert at trace time — round-4 advisor finding).
+        h = x.shape[1]
+        r = min(rows, h)
+        while r > 1 and h % r:
+            r -= 1
+        if h % r:
+            return next_fun(*args, **kwargs)
         return fused_sepconv(
             x, p["Conv_0"]["kernel"], p["Conv_0"]["bias"],
             p["Conv_1"]["kernel"], p["Conv_1"]["bias"],
-            rows=min(rows, x.shape[1]), interpret=interpret,
+            rows=r, interpret=interpret,
         ).astype(x.dtype)
 
     def apply_fn(x, train: bool = False):

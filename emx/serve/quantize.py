@@ -181,10 +181,20 @@ def quantized_apply(model, variables, amax: dict[str, Any],
         mod: nn.Conv = context.module
         x = args[0]
         grouped = mod.feature_group_count != 1
+        # The mxu2 grouped path folds the per-input-channel activation
+        # scale along the kernel's OUTPUT axis — valid ONLY for true
+        # depthwise (one group per input channel, channel multiplier 1).
+        # A grouped-but-not-depthwise conv would broadcast without error
+        # and silently apply channel c's scale to the wrong group's
+        # output channel (round-4 advisor finding).
+        depthwise = (grouped
+                     and mod.feature_group_count == x.shape[-1]
+                     and mod.variables["params"]["kernel"].shape[2] == 1)
         x_scale = _scale_of(amax[p])  # () or (C_in,)
         xq = jnp.clip(jnp.round(x.astype(jnp.float32) / x_scale),
                       -127, 127).astype(jnp.int8)
-        if mode == "store" or (mode == "mxu" and grouped):
+        if mode == "store" or (grouped and not depthwise) or (
+                mode == "mxu" and grouped):
             # Grouped (depthwise) int8 convs don't hit the MXU int8
             # path; give them the storage treatment instead.
             # int8 at the fusion boundary; compute in the model dtype.
@@ -252,9 +262,16 @@ def fake_quant_apply(model, amax: dict[str, Any], mode: str = "mxu",
         mod: nn.Conv = context.module
         x = args[0]
         grouped = mod.feature_group_count != 1
+        # Same true-depthwise guard as quantized_apply: the grouped
+        # fake-quant grid is only the deployment grid for channel
+        # multiplier 1 with one group per input channel.
+        depthwise = (grouped
+                     and mod.feature_group_count == x.shape[-1]
+                     and mod.variables["params"]["kernel"].shape[2] == 1)
         x_scale = _scale_of(amax[p]).astype(jnp.float32)
         x_fq = _ste(x.astype(jnp.float32), x_scale)
-        if mode == "store" or (mode == "mxu" and grouped):
+        if mode == "store" or (grouped and not depthwise) or (
+                mode == "mxu" and grouped):
             return next_fun(x_fq.astype(x.dtype), *args[1:], **kwargs)
         kernel = mod.variables["params"]["kernel"]
         bias = mod.variables["params"].get("bias")

@@ -1,0 +1,36 @@
+#!/bin/bash
+# Round-5 chip queue #2 (VERDICT r4 next-3): runs after scripts/
+# r5_chain.sh. (a) 1/64 infilling late phase at mse_weight=0 — the
+# reference-faithful adversarial + feature-matching objective carries
+# training from the 125k-step state (the pixel term plateaued: +0.04 dB
+# over its last 25k steps); (b) extend the 1/100 partial-STEM run
+# toward 150k fused steps (checkpointed segments so each writes
+# quality.json). One chip job at a time. Logs to /tmp/r5_queue2.log.
+set -x
+cd /root/repo
+
+if [ -f /tmp/r5_chain.pid ]; then
+  tail --pid="$(cat /tmp/r5_chain.pid)" -f /dev/null
+fi
+
+# (a) 1/64 reference-faithful late phase: 25k steps from the 125k state.
+timeout 9000 python - <<'EOF'
+from emx.bench.gan_quality import main
+main("docs/runs/gan_q64_msea", steps=150000, batch=8, size=256,
+     scale=0.5, mse_weight=0.0,
+     init_from="docs/runs/gan_quality_300k/gan_state.npz", coverage=64)
+EOF
+
+# (b) 1/100 continuation: 60k more fused steps, then 30k more.
+timeout 14400 python - <<'EOF'
+from emx.bench.gan_quality import main
+main("docs/runs/gan_quality_c100", steps=120000, batch=8, size=256,
+     scale=0.5, mse_weight=100.0, coverage=100)
+EOF
+timeout 9000 python - <<'EOF'
+from emx.bench.gan_quality import main
+main("docs/runs/gan_quality_c100", steps=150000, batch=8, size=256,
+     scale=0.5, mse_weight=100.0, coverage=100)
+EOF
+
+echo "R5 QUEUE2 DONE"
