@@ -51,9 +51,20 @@ class InferenceServer:
         pad_batches: bool = False,
         oversize_fn: Callable[[np.ndarray], np.ndarray] | None = None,
         tile_size: int = 512,
+        batch_window_s: float = 0.0,
     ):
         self.apply_fn = apply_fn
         self.max_batch = max_batch
+        # Fill window: after the first request of a dispatch group
+        # arrives, wait up to this deadline for the group to fill toward
+        # max_batch before launching. Round-4 measurement: at closed-loop
+        # concurrency 16 the window-less dispatcher averaged 6.6
+        # img/launch against a best_batch of 96 — most of each launch's
+        # fixed (tunnel-dominated) cost was spent on a third of the
+        # available work. The window costs an idle client at most
+        # `batch_window_s` of added latency (~4% of the measured 1.16 s
+        # p50) and lets loaded launches fill.
+        self.batch_window_s = batch_window_s
         # Arbitrary-size serving (reference Denoiser.denoise,
         # machine_learning/denoiser.py:653-682): a 2D image whose shape
         # is not the native tile is routed through `oversize_fn`
@@ -73,7 +84,7 @@ class InferenceServer:
         self.input_shape = input_shape
         self.model_info = model_info or {}
         self.metrics = {"requests": 0, "launches": 0, "errors": 0,
-                        "total_latency_s": 0.0}
+                        "batched_images": 0, "total_latency_s": 0.0}
         self._q: queue.Queue[_Pending] = queue.Queue()
         self._stop = threading.Event()
         self._dispatcher = threading.Thread(target=self._dispatch, daemon=True)
@@ -177,51 +188,95 @@ class InferenceServer:
         self.port = self.httpd.server_address[1]
 
     def _dispatch(self) -> None:
-        while not self._stop.is_set():
-            try:
-                first = self._q.get(timeout=0.1)
-            except queue.Empty:
-                continue
-            batch = [first]
-            while len(batch) < self.max_batch:
+        # Two-stage pipeline: this thread forms groups and LAUNCHES
+        # (jax dispatch is async — apply_fn returns a device future);
+        # the readback thread blocks on the host transfer and completes
+        # the pendings. While one launch's results cross the (tunnel-
+        # dominated) device->host path, the next group is already
+        # forming and launching — the bounded queue caps in-flight
+        # launches at its depth.
+        rq: queue.Queue = queue.Queue(maxsize=2)
+
+        def readback():
+            while True:
+                item = rq.get()
+                if item is None:
+                    return
+                group, out_dev, n = item
                 try:
-                    batch.append(self._q.get_nowait())
-                except queue.Empty:
-                    break
-            # Group by shape so one launch serves homogeneous requests.
-            by_shape: dict[tuple, list[_Pending]] = {}
-            for p in batch:
-                if p.cancelled:  # requester already gave up (504)
-                    continue
-                by_shape.setdefault(p.img.shape, []).append(p)
-            for shape, group in by_shape.items():
-                # Re-check cancellation at launch time: a pending that
-                # timed out while queued in this dispatch group would
-                # otherwise still pay for a full inference (ADVICE r2).
-                group = [p for p in group if not p.cancelled]
-                if not group:
-                    continue
-                try:
-                    stacked = np.stack([p.img for p in group])
-                    n = stacked.shape[0]
-                    if self.pad_batches:
-                        m = 1
-                        while m < n:
-                            m *= 2
-                        if m > n:
-                            stacked = np.concatenate(
-                                [stacked,
-                                 np.repeat(stacked[:1], m - n, axis=0)])
-                    out = np.asarray(self.apply_fn(stacked))[:n]
-                    self.metrics["launches"] += 1
+                    out = np.asarray(out_dev)[:n]
                     for p, o in zip(group, out):
                         p.result = o
-                except Exception as e:
+                except Exception as e:  # execution errors surface here
                     for p in group:
                         p.error = e
                 finally:
                     for p in group:
                         p.event.set()
+
+        rb = threading.Thread(target=readback, daemon=True)
+        rb.start()
+        try:
+            while not self._stop.is_set():
+                try:
+                    first = self._q.get(timeout=0.1)
+                except queue.Empty:
+                    continue
+                batch = [first]
+                if self.batch_window_s:
+                    # Wait-for-fill up to the deadline (see __init__).
+                    deadline = time.perf_counter() + self.batch_window_s
+                    while len(batch) < self.max_batch:
+                        rem = deadline - time.perf_counter()
+                        if rem <= 0:
+                            break
+                        try:
+                            batch.append(self._q.get(timeout=rem))
+                        except queue.Empty:
+                            break
+                while len(batch) < self.max_batch:
+                    try:
+                        batch.append(self._q.get_nowait())
+                    except queue.Empty:
+                        break
+                # Group by shape so one launch serves homogeneous
+                # requests.
+                by_shape: dict[tuple, list[_Pending]] = {}
+                for p in batch:
+                    if p.cancelled:  # requester already gave up (504)
+                        continue
+                    by_shape.setdefault(p.img.shape, []).append(p)
+                for shape, group in by_shape.items():
+                    # Re-check cancellation at launch time: a pending
+                    # that timed out while queued in this dispatch group
+                    # would otherwise still pay for a full inference
+                    # (ADVICE r2).
+                    group = [p for p in group if not p.cancelled]
+                    if not group:
+                        continue
+                    try:
+                        stacked = np.stack([p.img for p in group])
+                        n = stacked.shape[0]
+                        if self.pad_batches:
+                            m = 1
+                            while m < n:
+                                m *= 2
+                            if m > n:
+                                stacked = np.concatenate(
+                                    [stacked,
+                                     np.repeat(stacked[:1], m - n,
+                                               axis=0)])
+                        out_dev = self.apply_fn(stacked)
+                        self.metrics["launches"] += 1
+                        self.metrics["batched_images"] += n
+                    except Exception as e:  # trace/stack errors
+                        for p in group:
+                            p.error = e
+                            p.event.set()
+                        continue
+                    rq.put((group, out_dev, n))
+        finally:
+            rq.put(None)
 
     def start(self) -> None:
         self._dispatcher.start()
@@ -277,6 +332,7 @@ def serve_artifact(artifact_path: str, tile: int = 512,
             apply_fn = _jax.jit(
                 lambda x: model.apply(variables, x, train=False))
         kw.setdefault("pad_batches", True)
+        kw.setdefault("batch_window_s", 0.05)
         from emx.serve.tiling import tiled_apply
 
         def oversize_fn(img, _fn=apply_fn):
