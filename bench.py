@@ -201,6 +201,8 @@ def main() -> None:
                 "host_loader_u16_img_per_s")
             extras["host_loader_u8_img_per_s"] = pb.get(
                 "host_loader_u8_img_per_s")
+            extras["host_loader_f16_img_per_s"] = pb.get(
+                "host_loader_f16_img_per_s")
             extras["host_loader_tiff_img_per_s"] = pb.get(
                 "host_loader_tiff_img_per_s")
             extras["device_degrade_img_per_s"] = pb["device_degrade_img_per_s"]

@@ -73,6 +73,12 @@ def measure(n_files: int = 256, crop: int = 512) -> dict:
     # rescaled per-image; the train step renormalises per crop anyway).
     host_rate_u16 = packed_rate(np.uint16)
     host_rate_u8 = packed_rate(np.uint8)
+    # Float16 pack: the byte diet for FLOAT-origin corpora (the round-4
+    # gap: only integer-packed corpora outran the chip; float TIFF-origin
+    # stacks were loader-bound 1.7x). Same loader machinery, half the
+    # bytes; ~1e-3 relative quantization, far below the Poisson noise
+    # the degradation model adds; upcast happens on device in the step.
+    host_rate_f16 = packed_rate(np.float16)
 
     # On-device degradation rate (runs inside the train step in practice).
     # Everything — key derivation included — inside ONE jit per launch:
@@ -103,6 +109,7 @@ def measure(n_files: int = 256, crop: int = 512) -> dict:
         "host_loader_img_per_s": round(host_rate, 1),
         "host_loader_u16_img_per_s": round(host_rate_u16, 1),
         "host_loader_u8_img_per_s": round(host_rate_u8, 1),
+        "host_loader_f16_img_per_s": round(host_rate_f16, 1),
         "host_loader_tiff_img_per_s": round(tiff_rate, 1),
         "device_degrade_img_per_s": round(degrade_rate, 1),
         "crop": crop,
