@@ -148,6 +148,17 @@ def main(out_dir: str = "docs/runs/dqn_autofocus",
         "hillclimb": run_policy(eval_env, hillclimb_policy, n_eval,
                                 true_z=0.0),
     }
+    # Ground-truth-target rows (round-4 verdict next-7): the same
+    # serial env, but reward/termination/distance all use the
+    # simulator's true optimum (optimal_z=0) instead of the focal-scan
+    # estimate — the clean policy-error number the confounded row above
+    # cannot give (the estimate's own error dominated it).
+    gt_env = make_env(seed=321)
+    for name, pol in (("dqn_true_target", dqn_policy),
+                      ("random_true_target", random_policy),
+                      ("hillclimb_true_target", hillclimb_policy)):
+        results[name] = run_policy(gt_env, pol, n_eval, true_z=0.0,
+                                   target_override=0.0)
     summary = {
         "metric": "dqn_autofocus",
         "trainer": "vec",
@@ -174,6 +185,15 @@ def main(out_dir: str = "docs/runs/dqn_autofocus",
         "beats_hillclimb_true_distance":
             results["dqn"]["mean_final_true_distance"]
             < results["hillclimb"]["mean_final_true_distance"],
+        "gt_solve_rate": results["dqn_true_target"]["solve_rate"],
+        "gt_mean_final_distance":
+            results["dqn_true_target"]["mean_final_distance"],
+        "beats_random_gt":
+            results["dqn_true_target"]["mean_final_distance"]
+            < results["random_true_target"]["mean_final_distance"],
+        "beats_hillclimb_gt":
+            results["dqn_true_target"]["mean_final_distance"]
+            < results["hillclimb_true_target"]["mean_final_distance"],
     }
     with open(os.path.join(out_dir, "quality.json"), "w") as f:
         json.dump({"results": results, **summary}, f, indent=1)
