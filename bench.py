@@ -116,14 +116,27 @@ def main() -> None:
         # sidecar (emx.serve.fused.load_serve_mode, written by
         # serve_perf at matched quality) may route qualifying 128^2
         # SepConvBlocks through the fused Pallas kernel.
-        from emx.serve.fused import fused_quantized_apply, load_serve_mode
+        from emx.serve.fused import (dense_quantized_apply,
+                                     fused_quantized_apply,
+                                     load_serve_mode)
         from emx.serve.quantize import quantized_apply
 
         smode = load_serve_mode(artifact) or {}
         if os.environ.get("EMX_BENCH_FUSED", ""):
             smode = {"fused_rows": int(os.environ["EMX_BENCH_FUSED"])}
+        if os.environ.get("EMX_BENCH_DENSE", ""):
+            smode = {"dense": os.environ["EMX_BENCH_DENSE"]}
         fused_rows = int(smode.get("fused_rows", 0))
-        if fused_rows:
+        dense = smode.get("dense", "")
+        if dense:
+            # Dense-folded SepConvBlocks (serve_perf-promoted): the
+            # dw->pw pair runs as one MXU-shaped conv.
+            def apply_fn(v, x):
+                return dense_quantized_apply(
+                    model, v, quant["amax"], mode=quant["mode"],
+                    skip=quant.get("skip", ()),
+                    quantized=dense == "int8")(x)
+        elif fused_rows:
             def apply_fn(v, x):
                 return fused_quantized_apply(
                     model, v, quant["amax"], mode=quant["mode"],
@@ -223,7 +236,7 @@ def main() -> None:
                 "n_quantized_convs": (len(quant["amax"])
                                       - len(quant.get("skip", ()))),
                 "n_skipped_convs": len(quant.get("skip", ())),
-                "fused_rows": fused_rows}
+                "fused_rows": fused_rows, "dense": dense}
         # The coupled quality evidence for the measured graph: the
         # training run's val-ladder PSNR vs the classical-filter bar
         # (quality.json is written next to the artifact by quality_run).

@@ -100,3 +100,86 @@ def fused_quantized_apply(model, variables, amax: dict[str, Any],
             return inner(x, train=train)
 
     return apply_fn
+
+
+def dense_quantized_apply(model, variables, amax: dict[str, Any],
+                          mode: str = "mxu",
+                          skip: Iterable[str] = (),
+                          min_pixels: int = 16384,
+                          quantized: bool = True):
+    """quantized_apply, with qualifying SepConvBlocks' depthwise ->
+    pointwise pair FOLDED into one dense 3x3 conv.
+
+    The pair is linear (no nonlinearity between SepConvBlock's two
+    convs, emx/nn/blocks.py:85-115), so
+
+      K[ky,kx,ci,co] = dw[ky,kx,0,ci] * pw[0,0,ci,co]
+      b[co]          = pw_b[co] + sum_ci dw_b[ci] * pw[0,0,ci,co]
+
+    is exact in float arithmetic. FLOPs rise by 9*Co/(9+Co) (~8.4x at
+    C=Co=128) — but the dense conv is MXU-shaped (im2col -> one big
+    int8 matmul by XLA's own emitter) where the separable pair is
+    VPU/emitter-bound at ~10-15% of peak (round-4 stage profile,
+    docs/runs/flagship/stage_time.json), and the dw->pw intermediate
+    plus the depthwise's bf16 'store'-mode boundary disappear entirely.
+    This is the round-4 verdict's MXU-oriented second attack, expressed
+    through XLA instead of a hand kernel (the hand-scheduled Pallas
+    fusion measured 2.5x slower than XLA's emitters — commit e506ee6).
+
+    `quantized=True` runs the folded conv on the int8 MXU path: the
+    depthwise input's per-channel activation scale (amax of the block's
+    Conv_0) folds into K along ci, weights get per-output-channel
+    symmetric scales — the exact treatment quantized_apply gives dense
+    convs. quantized=False keeps the folded conv in the model dtype
+    (bf16) for an apples-to-apples ablation. PSNR is re-gated by
+    serve_perf either way (the folded int8 grid differs from the
+    two-stage one)."""
+    import jax
+
+    from emx.serve.quantize import _scale_of
+
+    inner = quantized_apply(model, variables, amax, mode, skip=skip)
+
+    def dense_interceptor(next_fun, args, kwargs, context):
+        mod = context.module
+        if (context.method_name != "__call__"
+                or not _qualifies(mod, args[0], min_pixels)):
+            return next_fun(*args, **kwargs)
+        x = args[0]
+        p = mod.variables["params"]
+        dw_path = "/".join(mod.path + ("Conv_0",))
+        c = x.shape[-1]
+        dw = p["Conv_0"]["kernel"].reshape(3, 3, c).astype(jnp.float32)
+        dwb = p["Conv_0"]["bias"].astype(jnp.float32)
+        pw = p["Conv_1"]["kernel"].reshape(c, -1).astype(jnp.float32)
+        pwb = p["Conv_1"]["bias"].astype(jnp.float32)
+        k = dw[:, :, :, None] * pw[None, None]          # (3, 3, C, Co)
+        b = pwb + dwb @ pw                              # (Co,)
+        dn = ("NHWC", "HWIO", "NHWC")
+        if quantized and dw_path in amax and dw_path not in skip:
+            x_scale = _scale_of(amax[dw_path])          # () or (C,)
+            xq = jnp.clip(jnp.round(x.astype(jnp.float32) / x_scale),
+                          -127, 127).astype(jnp.int8)
+            kf = k * jnp.asarray(x_scale).reshape(1, 1, -1, 1)
+            w_amax = jnp.max(jnp.abs(kf), axis=(0, 1, 2), keepdims=True)
+            w_scale = jnp.maximum(w_amax / 127.0, 1e-12)
+            kq = jnp.clip(jnp.round(kf / w_scale),
+                          -127, 127).astype(jnp.int8)
+            acc = jax.lax.conv_general_dilated(
+                xq, kq, window_strides=(1, 1), padding="SAME",
+                dimension_numbers=dn,
+                preferred_element_type=jnp.int32)
+            y = acc.astype(jnp.float32) * w_scale.reshape(-1) + b
+        else:
+            acc = jax.lax.conv_general_dilated(
+                x, k.astype(x.dtype), window_strides=(1, 1),
+                padding="SAME", dimension_numbers=dn,
+                preferred_element_type=jnp.float32)
+            y = acc + b
+        return jnp.clip(y, 0.0, 6.0).astype(x.dtype)
+
+    def apply_fn(x, train: bool = False):
+        with nn.intercept_methods(dense_interceptor):
+            return inner(x, train=train)
+
+    return apply_fn

@@ -312,14 +312,21 @@ def serve_artifact(artifact_path: str, tile: int = 512,
             # graph — the same program bench.py measures (including the
             # hash-guarded serve_mode.json sidecar routing 128^2
             # SepConvBlocks through the fused Pallas kernel).
-            from emx.serve.fused import fused_quantized_apply, \
-                load_serve_mode
+            from emx.serve.fused import (dense_quantized_apply,
+                                         fused_quantized_apply,
+                                         load_serve_mode)
             from emx.serve.quantize import quantized_apply
 
             smode = load_serve_mode(artifact_path) or {}
             fused_rows = int(kw.pop("fused_rows",
                                     smode.get("fused_rows", 0)))
-            if fused_rows:
+            dense = str(kw.pop("dense", smode.get("dense", "")))
+            if dense:
+                apply_fn = _jax.jit(dense_quantized_apply(
+                    model, variables, quant["amax"], mode=quant["mode"],
+                    skip=quant.get("skip", ()),
+                    quantized=dense == "int8"))
+            elif fused_rows:
                 apply_fn = _jax.jit(fused_quantized_apply(
                     model, variables, quant["amax"], mode=quant["mode"],
                     skip=quant.get("skip", ()), rows=fused_rows,
@@ -346,6 +353,7 @@ def serve_artifact(artifact_path: str, tile: int = 512,
                 "folded_head": cfg.folded_head,
                 "quant": None if quant is None else quant["mode"],
                 "fused_rows": fused_rows if quant is not None else 0,
+                "dense": dense if quant is not None else "",
                 "tile": tile, "overlap": overlap}
     else:
         from emx.serve.export import load_artifact

@@ -65,3 +65,48 @@ def test_fused_quantized_apply_matches_quantized():
     ref = np.asarray(model.apply(variables, x, train=False))
     base_err = float(np.mean((base - ref) ** 2))
     assert err < max(10 * base_err, 1e-3), (err, base_err)
+
+
+def test_dense_fold_matches_model():
+    """dense_quantized_apply's folded dw->pw dense conv is exact: with
+    an empty amax (every conv passes through float) the dense-folded
+    graph must match the plain model apply to f32 tolerance."""
+    import dataclasses
+
+    from emx.nn import Denoiser, DenoiserConfig
+    from emx.serve.fused import dense_quantized_apply
+
+    cfg = dataclasses.replace(DenoiserConfig.tiny(), norm="none",
+                              space_to_depth=4, folded_head=8)
+    model = Denoiser(cfg)
+    x = jnp.asarray(np.random.default_rng(3).random((1, 64, 64)),
+                    jnp.float32)
+    variables = model.init(jax.random.key(0), x, train=False)
+    ref = np.asarray(model.apply(variables, x, train=False))
+    got = np.asarray(dense_quantized_apply(
+        model, variables, amax={}, min_pixels=1, quantized=False)(x))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_dense_fold_int8_close_to_quantized():
+    """The int8 dense-folded graph stays within quantization noise of
+    the plain int8 graph (different grids: folded kernel vs two-stage)."""
+    import dataclasses
+
+    from emx.nn import Denoiser, DenoiserConfig
+    from emx.serve.fused import dense_quantized_apply
+    from emx.serve.quantize import calibrate, quantized_apply
+
+    cfg = dataclasses.replace(DenoiserConfig.tiny(), norm="none",
+                              space_to_depth=4, folded_head=8)
+    model = Denoiser(cfg)
+    x = jnp.asarray(np.random.default_rng(4).random((1, 64, 64)),
+                    jnp.float32)
+    variables = model.init(jax.random.key(0), x, train=False)
+    amax = calibrate(model, variables, [x])
+    plain = np.asarray(jax.jit(
+        quantized_apply(model, variables, amax, "mxu"))(x))
+    dense = np.asarray(jax.jit(dense_quantized_apply(
+        model, variables, amax, "mxu", min_pixels=1))(x))
+    # Same float function, two int8 grids: agree to quantization noise.
+    assert np.mean((plain - dense) ** 2) < 1e-3
