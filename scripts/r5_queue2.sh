@@ -13,6 +13,18 @@ if [ -f /tmp/r5_chain.pid ]; then
   tail --pid="$(cat /tmp/r5_chain.pid)" -f /dev/null
 fi
 
+# (0) Serving sweep on the (re-)promoted flagship, now including the
+#     dense-folded dw->pw MXU variants (VERDICT r4 next-2); writes
+#     serve_mode.json when a variant wins at matched quality. Then the
+#     HTTP latency rows at concurrency 16 and 64 with the fill-window
+#     batching dispatcher (VERDICT r4 next-5).
+timeout 7200 python -m emx.bench.serve_perf \
+  docs/runs/flagship/artifact_int8.npz docs/runs/flagship
+timeout 3600 python -m emx.bench.serve_latency \
+  docs/runs/flagship/artifact_int8.npz docs/runs/flagship 16 32 512
+timeout 3600 python -m emx.bench.serve_latency \
+  docs/runs/flagship/artifact_int8.npz docs/runs/flagship 64 16 512
+
 # (a) 1/64 reference-faithful late phase: 25k steps from the 125k state.
 timeout 9000 python - <<'EOF'
 from emx.bench.gan_quality import main
