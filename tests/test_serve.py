@@ -385,3 +385,40 @@ def test_serve_mode_sidecar(tmp_path):
         np.testing.assert_allclose(out, expect, atol=1e-5)
     finally:
         srv.stop()
+
+
+def test_j_invariant_selector_ranks_denoisers():
+    """The J-invariant score separates a matched gaussian from a badly
+    over-blurred one (the coarse NN-vs-classical gap the selector
+    exists for) and auto_denoise picks the winner — no clean reference
+    used anywhere. (Identity is NOT a valid candidate: its J-invariant
+    version is the masked fill itself — Noise2Self can only calibrate
+    functions that don't read the masked pixel.)"""
+    import jax
+
+    from emx.analysis.filters import gaussian_filter
+    from emx.data.degrade import poisson_dose
+    from emx.data.pipeline import synthetic_micrographs
+    from emx.serve.select import auto_denoise, j_invariant_score
+
+    imgs = jnp.asarray(synthetic_micrographs(4, 64, seed=11))
+    keys = jax.random.split(jax.random.key(0), 4)
+    noisy = jax.vmap(lambda k, x: poisson_dose(k, x, 25.0))(keys, imgs)
+
+    good = jax.vmap(lambda x: gaussian_filter(x, 1.0))
+    bad = jax.vmap(lambda x: gaussian_filter(x, 4.0))
+    s_good = j_invariant_score(good, noisy, jax.random.key(1),
+                               n_masks=8)
+    s_bad = j_invariant_score(bad, noisy, jax.random.key(1), n_masks=8)
+    assert float(jnp.mean((s_good < s_bad).astype(jnp.float32))) >= 0.75
+
+    out, chosen = auto_denoise(noisy, [bad, good], jax.random.key(2),
+                               n_masks=8)
+    assert out.shape == noisy.shape
+    assert float(jnp.mean((chosen == 1).astype(jnp.float32))) >= 0.75
+    # The selected output really is the winner's output per image.
+    g_out = good(noisy)
+    for i in range(4):
+        if bool(chosen[i] == 1):
+            np.testing.assert_allclose(np.asarray(out[i]),
+                                       np.asarray(g_out[i]), atol=1e-5)
