@@ -12,8 +12,9 @@ scripts:
     (misc_py/images_to_text.py:13-42); requires pytesseract, gated.
 
 The gated functions raise a clear ImportError naming the missing
-dependency instead of failing at import time (this environment ships
-neither cv2 nor tesseract).
+dependency instead of failing at import time when it is absent
+(cv2 is present in the current environment — video_to_slices is
+round-trip tested; tesseract is not, so images_to_text stays gated).
 """
 
 from __future__ import annotations

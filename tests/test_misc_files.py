@@ -45,11 +45,45 @@ def test_noise_census_orders_by_noise(tmp_path):
 
 
 def test_gated_tools_raise_informative_importerror(tmp_path):
-    for fn, arg in ((video_to_slices, ("x.mp4", str(tmp_path))),
-                    (images_to_text, (str(tmp_path),))):
+    for fn, arg, dep in ((video_to_slices, ("x.mp4", str(tmp_path)),
+                          "cv2"),
+                         (images_to_text, (str(tmp_path),),
+                          "pytesseract")):
+        try:
+            __import__(dep)
+        except ImportError:
+            pass
+        else:
+            continue  # dependency present: the gate is not reachable
         try:
             fn(*arg)
         except ImportError as e:
             assert "requires" in str(e)
         except Exception:
             pytest.fail("gated tool raised the wrong error type")
+
+
+def test_video_to_slices_roundtrip(tmp_path):
+    """mp4 -> per-frame slices (misc_py/mp4_to_slices.py): synthesize a
+    short video, slice every 2nd frame, check count and pixel content."""
+    cv2 = pytest.importorskip("cv2")
+    path = str(tmp_path / "clip.avi")
+    # MJPG/avi is available in every OpenCV build (no ffmpeg needed).
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 5.0,
+                         (32, 32))
+    if not vw.isOpened():
+        pytest.skip("no usable VideoWriter backend")
+    frames = []
+    for i in range(6):
+        f = np.full((32, 32, 3), i * 40, np.uint8)
+        frames.append(f)
+        vw.write(f)
+    vw.release()
+    out = tmp_path / "slices"
+    n = video_to_slices(path, str(out), every_n=2)
+    assert n == 3
+    for j, src_idx in enumerate([0, 2, 4]):
+        img = cv2.imread(str(out / f"frame{j}.png"))
+        assert img is not None and img.shape == (32, 32, 3)
+        # MJPG is lossy; flat frames survive within a small tolerance.
+        assert abs(int(img.mean()) - src_idx * 40) <= 4
