@@ -52,6 +52,7 @@ class InferenceServer:
         oversize_fn: Callable[[np.ndarray], np.ndarray] | None = None,
         tile_size: int = 512,
         batch_window_s: float = 0.0,
+        aux_names: list[str] | None = None,
     ):
         self.apply_fn = apply_fn
         self.max_batch = max_batch
@@ -85,6 +86,12 @@ class InferenceServer:
         self.model_info = model_info or {}
         self.metrics = {"requests": 0, "launches": 0, "errors": 0,
                         "batched_images": 0, "total_latency_s": 0.0}
+        # When apply_fn returns (batch, per_image_label) instead of a
+        # bare batch (the auto-select serving mode), per-label counts
+        # are reported under metrics["chosen"], keyed by aux_names.
+        self.aux_names = aux_names
+        if aux_names:
+            self.metrics["chosen"] = {name: 0 for name in aux_names}
         self._q: queue.Queue[_Pending] = queue.Queue()
         self._stop = threading.Event()
         self._dispatcher = threading.Thread(target=self._dispatch, daemon=True)
@@ -204,7 +211,14 @@ class InferenceServer:
                     return
                 group, out_dev, n = item
                 try:
+                    aux = None
+                    if isinstance(out_dev, tuple):
+                        out_dev, aux = out_dev
                     out = np.asarray(out_dev)[:n]
+                    if aux is not None and self.aux_names:
+                        for c in np.asarray(aux)[:n]:
+                            self.metrics["chosen"][
+                                self.aux_names[int(c)]] += 1
                     for p, o in zip(group, out):
                         p.result = o
                 except Exception as e:  # execution errors surface here
@@ -338,11 +352,47 @@ def serve_artifact(artifact_path: str, tile: int = 512,
         else:
             apply_fn = _jax.jit(
                 lambda x: model.apply(variables, x, train=False))
+
+        auto = bool(kw.pop("auto", False))
+        auto_n_masks = int(kw.pop("auto_n_masks", 2))
+        auto_names: list[str] | None = None
+        if auto:
+            # Auto-select serving: every request is denoised by the
+            # per-image J-invariant winner among the NN and the
+            # classical filters (emx.serve.select) — no clean data, no
+            # family oracle. Out-of-family inputs route to a classical
+            # filter instead of trusting the NN blindly, at
+            # ~(n_masks+1)x the NN compute. The mask key is fixed:
+            # deterministic serving, and the ranking stays unbiased for
+            # pixel-independent noise.
+            import jax.numpy as _jnp
+
+            from emx.analysis.filters import (chambolle_tv,
+                                              gaussian_filter,
+                                              median_filter,
+                                              wiener_filter)
+            from emx.serve.select import auto_denoise
+
+            base_fn = apply_fn
+            cands = [
+                lambda x: base_fn(x).astype(_jnp.float32),
+                _jax.vmap(lambda x: gaussian_filter(x, 1.0)),
+                _jax.vmap(lambda x: median_filter(x, 1)),
+                _jax.vmap(lambda x: wiener_filter(x, 1)),
+                _jax.vmap(lambda x: chambolle_tv(x, 0.1)),
+            ]
+            auto_names = ["nn", "gaussian", "median", "wiener", "tv"]
+            apply_fn = _jax.jit(lambda x: auto_denoise(
+                x, cands, _jax.random.key(0), n_masks=auto_n_masks))
+            kw.setdefault("aux_names", auto_names)
         kw.setdefault("pad_batches", True)
         kw.setdefault("batch_window_s", 0.05)
         from emx.serve.tiling import tiled_apply
 
         def oversize_fn(img, _fn=apply_fn):
+            if auto:  # tiled path keeps the output, drops the labels
+                return tiled_apply(lambda b: _fn(b)[0], img, tile=tile,
+                                   overlap=overlap, batch=8)
             return tiled_apply(_fn, img, tile=tile, overlap=overlap,
                                batch=8)
 
@@ -354,6 +404,7 @@ def serve_artifact(artifact_path: str, tile: int = 512,
                 "quant": None if quant is None else quant["mode"],
                 "fused_rows": fused_rows if quant is not None else 0,
                 "dense": dense if quant is not None else "",
+                "auto": auto_names or False,
                 "tile": tile, "overlap": overlap}
     else:
         from emx.serve.export import load_artifact

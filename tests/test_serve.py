@@ -422,3 +422,55 @@ def test_j_invariant_selector_ranks_denoisers():
         if bool(chosen[i] == 1):
             np.testing.assert_allclose(np.asarray(out[i]),
                                        np.asarray(g_out[i]), atol=1e-5)
+
+
+def test_serve_auto_select_mode(tmp_path):
+    """serve_artifact(auto=True): requests are denoised by the
+    per-image J-invariant winner among {nn, classical filters}; the
+    /metrics endpoint reports per-candidate chosen counts and /healthz
+    advertises the candidate list."""
+    import dataclasses
+    import io
+    import json
+    import urllib.request
+
+    import jax
+
+    from emx.nn import Denoiser, DenoiserConfig
+    from emx.serve.artifact import save_denoiser_artifact
+    from emx.serve.server import serve_artifact
+
+    cfg = dataclasses.replace(DenoiserConfig.tiny(), norm="none",
+                              space_to_depth=4, folded_head=8)
+    model = Denoiser(cfg)
+    variables = model.init(jax.random.key(0),
+                           jnp.zeros((1, 64, 64), jnp.float32),
+                           train=False)
+    p = str(tmp_path / "artifact.npz")
+    save_denoiser_artifact(p, cfg, variables)
+
+    srv = serve_artifact(p, tile=64, port=0, auto=True, auto_n_masks=1)
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/healthz",
+                timeout=30) as resp:
+            info = json.loads(resp.read())
+        assert info["auto"] == ["nn", "gaussian", "median", "wiener",
+                                "tv"]
+        for seed in range(2):
+            buf = io.BytesIO()
+            np.save(buf, np.random.default_rng(seed).random(
+                (64, 64)).astype(np.float32))
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{srv.port}/api/predict",
+                data=buf.getvalue())
+            with urllib.request.urlopen(req, timeout=120) as resp:
+                out = np.load(io.BytesIO(resp.read()))
+            assert out.shape == (64, 64) and np.isfinite(out).all()
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/metrics",
+                timeout=30) as resp:
+            metrics = json.loads(resp.read())
+        assert sum(metrics["chosen"].values()) == 2
+    finally:
+        srv.stop()
